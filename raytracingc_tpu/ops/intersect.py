@@ -1,0 +1,288 @@
+"""Ray–primitive intersection: search (argmin) + differentiable resolve.
+
+The reference's hot loop is a brute-force closest-hit scan
+(``calculateRayCollision``, ``raytracing.c:216-240``): all spheres, then all
+triangles, argmin on distance starting from ``{didHit=0, dst=999999}``, with
+Möller–Trumbore triangle tests that backface-cull against the precomputed face
+normal (``raytracing.c:186-214``) and a simplified ray–sphere quadratic
+(``raytracing.c:162-184``).
+
+TPU-native design — the search/resolve split:
+
+1. **Search** finds, per ray, only *which* primitive wins (an int index and a
+   hit flag). It is integer-valued, needs no gradients, and is the tileable
+   O(rays × primitives) kernel: either the Pallas kernel in
+   ``intersect_pallas.py`` or the chunked-``lax.scan`` XLA fallback here.
+2. **Resolve** gathers the winning primitive and recomputes distance, hit
+   point, normal, and material *differentiably* — one MT evaluation per ray.
+   Gradients of pixel values w.r.t. vertex positions/normals/materials flow
+   through this recompute; the discrete argmin choice itself is (correctly)
+   treated as locally constant, the standard subgradient for visibility.
+
+Tie semantics match the C scan order: lower index wins among equal distances;
+a sphere beats a triangle at equal distance (spheres are scanned first and
+triangles only replace on strictly smaller distance).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from raytracingc_tpu.scene.types import EPSILON, MISS_DST, Scene, Spheres, Triangles
+
+
+class HitRef(struct.PyTreeNode):
+    """Per-ray search result: which primitive was hit (no geometry payload)."""
+
+    hit: jax.Array  # bool [R]
+    is_tri: jax.Array  # bool [R] (valid only where hit)
+    idx: jax.Array  # int32 [R] primitive index (valid only where hit)
+
+
+class Hit(struct.PyTreeNode):
+    """Per-ray resolved hit: differentiable geometry + material."""
+
+    hit: jax.Array  # bool [R]
+    dst: jax.Array  # f32 [R] (MISS_DST sentinel where miss, like the C code)
+    point: jax.Array  # f32 [R, 3]
+    normal: jax.Array  # f32 [R, 3]
+    albedo: jax.Array  # f32 [R, 3]
+    emission: jax.Array  # f32 [R]
+    smoothness: jax.Array  # f32 [R]
+
+
+def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.sum(a * b, axis=-1)
+
+
+def ray_triangle_dst(o, d, a, b, c, n):
+    """Möller–Trumbore with backface cull (``raytracing.c:186-214``).
+
+    All arguments broadcast; returns ``(dst, valid)``. ``dst`` is only
+    meaningful where ``valid``; the division is guarded so invalid lanes carry
+    finite values (no NaN/inf leaks into gradients).
+    """
+    ab = b - a
+    ac = c - a
+    backface = _dot(d, n) >= 0.0  # cull via the precomputed normal
+    h = jnp.cross(d, ac)
+    det = _dot(ab, h)
+    degenerate = jnp.abs(det) < EPSILON
+    inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
+    s = o - a
+    u = _dot(s, h) * inv_det
+    q = jnp.cross(s, ab)
+    v = _dot(d, q) * inv_det
+    dst = _dot(ac, q) * inv_det
+    valid = (
+        ~backface
+        & ~degenerate
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (dst >= EPSILON)
+    )
+    return dst, valid
+
+
+def ray_sphere_dst(o, d, center, radius):
+    """Simplified quadratic, unit direction ⇒ a=1 (``raytracing.c:162-184``).
+
+    Returns ``(dst, valid)``. Near root preferred; far root if the near one is
+    behind ``EPSILON``. Non-positive radii (padding) never hit.
+    """
+    offset = o - center
+    b = _dot(offset, d)
+    cc = _dot(offset, offset) - radius * radius
+    delta = b * b - cc
+    miss = delta < 0.0
+    sq = jnp.sqrt(jnp.where(miss, 0.0, delta))
+    near = -b - sq
+    far = -b + sq
+    dst = jnp.where(near < EPSILON, far, near)
+    valid = ~miss & (dst >= EPSILON) & (radius > 0.0)
+    return dst, valid
+
+
+# ----------------------------------------------------------------------------
+# Search (XLA backend): chunked scan over triangles, full pass over spheres.
+# ----------------------------------------------------------------------------
+
+
+def _search_triangles_xla(o, d, tris: Triangles, chunk: int = 512):
+    """Running argmin over triangle chunks. Returns (best_dst, best_idx)."""
+    t = tris.a.shape[0]
+    chunk = min(chunk, t)
+    assert t % chunk == 0, "padded triangle count must divide the chunk size"
+    n_chunks = t // chunk
+
+    resh = lambda x: x.reshape(n_chunks, chunk, *x.shape[1:])
+    stacked = (resh(tris.a), resh(tris.b), resh(tris.c), resh(tris.normal))
+
+    def body(carry, chunk_data):
+        best_dst, best_idx, base = carry
+        a, b, c, n = chunk_data
+        dst, valid = ray_triangle_dst(
+            o[:, None, :], d[:, None, :], a[None], b[None], c[None], n[None]
+        )  # [R, chunk]
+        dst = jnp.where(valid, dst, MISS_DST)
+        j = jnp.argmin(dst, axis=1)
+        dmin = jnp.take_along_axis(dst, j[:, None], axis=1)[:, 0]
+        better = dmin < best_dst  # strict < keeps the earlier (lower) index
+        best_dst = jnp.where(better, dmin, best_dst)
+        best_idx = jnp.where(better, base + j.astype(jnp.int32), best_idx)
+        return (best_dst, best_idx, base + chunk), None
+
+    r = o.shape[0]
+    init = (
+        jnp.full((r,), MISS_DST, jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.int32(0),
+    )
+    (best_dst, best_idx, _), _ = jax.lax.scan(body, init, stacked)
+    return best_dst, best_idx
+
+
+def _search_spheres(o, d, spheres: Spheres):
+    """Full [R, S] sphere pass (sphere counts are tiny). Lower index wins ties."""
+    dst, valid = ray_sphere_dst(
+        o[:, None, :], d[:, None, :], spheres.center[None], spheres.radius[None]
+    )
+    dst = jnp.where(valid, dst, MISS_DST)
+    idx = jnp.argmin(dst, axis=1).astype(jnp.int32)
+    dmin = jnp.take_along_axis(dst, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+    return dmin, jnp.where(dmin < MISS_DST, idx, -1)
+
+
+def nearest_hit(
+    o: jax.Array,
+    d: jax.Array,
+    scene: Scene,
+    backend: str = "auto",
+    tri_chunk: int = 512,
+) -> HitRef:
+    """Closest-hit search over the whole scene → ``HitRef`` (indices only).
+
+    ``backend``: ``"xla"`` (chunked scan, runs anywhere), ``"pallas"`` (tiled
+    TPU kernel), or ``"auto"`` (pallas on TPU, xla otherwise).
+    """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    scene_ng = jax.lax.stop_gradient(scene)
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if backend == "pallas":
+        from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
+
+        tri_dst, tri_idx = search_triangles_pallas(o, d, scene_ng.triangles)
+    else:
+        tri_dst, tri_idx = _search_triangles_xla(
+            o, d, scene_ng.triangles, chunk=tri_chunk
+        )
+
+    if scene.n_spheres > 0:
+        sph_dst, sph_idx = _search_spheres(o, d, scene_ng.spheres)
+    else:
+        sph_dst = jnp.full(o.shape[:1], MISS_DST, jnp.float32)
+        sph_idx = jnp.full(o.shape[:1], -1, jnp.int32)
+
+    # Triangles are scanned after spheres in the C loop, so they win only on
+    # strictly smaller distance (``raytracing.c:229-237``).
+    is_tri = tri_dst < sph_dst
+    best = jnp.where(is_tri, tri_dst, sph_dst)
+    idx = jnp.where(is_tri, tri_idx, sph_idx)
+    hit = best < MISS_DST
+    return HitRef(hit=hit, is_tri=is_tri, idx=jnp.where(hit, idx, -1))
+
+
+# ----------------------------------------------------------------------------
+# Resolve: differentiable recompute of the winning primitive's geometry.
+# ----------------------------------------------------------------------------
+
+
+def _gather(x: jax.Array, idx: jax.Array) -> jax.Array:
+    return jnp.take(x, jnp.maximum(idx, 0), axis=0)
+
+
+def resolve_hit(o: jax.Array, d: jax.Array, ref: HitRef, scene: Scene) -> Hit:
+    """Recompute (dst, point, normal, material) for the winning primitive.
+
+    The index/flags in ``ref`` are discrete (constant under differentiation);
+    geometry and materials are gathered from ``scene`` and the distance is
+    recomputed with the same formulas as the search, so ``jax.grad`` of any
+    function of the output reaches vertex positions, normals, sphere
+    parameters, and materials.
+    """
+    idx = jnp.maximum(ref.idx, 0)
+    tri_sel = ref.hit & ref.is_tri
+    sph_sel = ref.hit & ~ref.is_tri
+
+    tris, sph = scene.triangles, scene.spheres
+
+    # Triangle recompute (unconditional MT distance along the gathered tri).
+    a = _gather(tris.a, idx)
+    b = _gather(tris.b, idx)
+    c = _gather(tris.c, idx)
+    ab = b - a
+    ac = c - a
+    h = jnp.cross(d, ac)
+    det = _dot(ab, h)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+    q = jnp.cross(o - a, ab)
+    tri_dst = _dot(ac, q) * inv_det
+    tri_normal = _gather(tris.normal, idx)
+
+    # Sphere recompute.
+    center = _gather(sph.center, idx) if sph.count else jnp.zeros_like(o)
+    radius = _gather(sph.radius, idx) if sph.count else jnp.ones(o.shape[:1])
+    offset = o - center
+    bq = _dot(offset, d)
+    delta = bq * bq - (_dot(offset, offset) - radius * radius)
+    sq = jnp.sqrt(jnp.maximum(delta, 1e-20))
+    sph_dst = jnp.where(-bq - sq < EPSILON, -bq + sq, -bq - sq)
+
+    dst = jnp.where(tri_sel, tri_dst, jnp.where(sph_sel, sph_dst, MISS_DST))
+    point = o + d * dst[:, None]  # computed even on miss, as the C code does
+    sph_normal = (point - center) / jnp.maximum(radius, 1e-20)[:, None]
+    normal = jnp.where(tri_sel[:, None], tri_normal, sph_normal)
+    normal = jnp.where(ref.hit[:, None], normal, 0.0)
+
+    sel3 = tri_sel[:, None]
+    albedo = jnp.where(
+        sel3,
+        _gather(tris.albedo, idx),
+        _gather(sph.albedo, idx) if sph.count else 0.0,
+    )
+    emission = jnp.where(
+        tri_sel,
+        _gather(tris.emission, idx),
+        _gather(sph.emission, idx) if sph.count else 0.0,
+    )
+    smoothness = jnp.where(
+        tri_sel,
+        _gather(tris.smoothness, idx),
+        _gather(sph.smoothness, idx) if sph.count else 0.0,
+    )
+    zero3 = jnp.zeros_like(albedo)
+    return Hit(
+        hit=ref.hit,
+        dst=dst,
+        point=point,
+        normal=normal,
+        albedo=jnp.where(ref.hit[:, None], albedo, zero3),
+        emission=jnp.where(ref.hit, emission, 0.0),
+        smoothness=jnp.where(ref.hit, smoothness, 0.0),
+    )
+
+
+@partial(jax.jit, static_argnames=("backend",))
+def intersect(o, d, scene: Scene, backend: str = "auto") -> Hit:
+    """Convenience: search + resolve in one call."""
+    return resolve_hit(o, d, nearest_hit(o, d, scene, backend=backend), scene)

@@ -1,0 +1,139 @@
+"""Path-tracing integrator: the C bounce loop as masked ``lax.scan`` dataflow.
+
+Reference ``calcColor`` (``raytracing.c:262-296``), one Monte-Carlo sample:
+up to ``max_bounce`` iterations; on hit the ray scatters with
+``lerp(normalize(normal + random_unit), reflect(dir, normal), smoothness)``
+(cosine-weighted diffuse vs mirror specular), emission is accumulated weighted
+by the PRE-update throughput, throughput is multiplied by albedo, then Russian
+roulette on ``p = max(throughput)`` terminates with renormalization ``×1/p``
+(``raytracing.c:283-287``). On miss the environment light is added and the
+path ends.
+
+Here every early ``break`` becomes an ``alive`` mask: all lanes march through
+the same ``lax.scan``, dead lanes simply stop contributing. Russian roulette
+under masking preserves the same expectation as the C loop (the ``1/p``
+renormalization makes the estimator unbiased either way).
+
+The scan also counts traced rays (bounces actually taken) so benchmarks can
+report honest rays/s rather than primary-sample counts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from raytracingc_tpu import rng
+from raytracingc_tpu.ops.env_light import environment_light
+from raytracingc_tpu.ops.intersect import nearest_hit, resolve_hit
+from raytracingc_tpu.scene.types import Scene
+
+
+def _normalize(v: jax.Array) -> jax.Array:
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+def _reflect(d: jax.Array, n: jax.Array) -> jax.Array:
+    """Mirror reflection (``moremath.c:79-82``)."""
+    return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+
+
+def trace_paths(
+    origins: jax.Array,  # [R, 3]
+    dirs: jax.Array,  # [R, 3]
+    rng_state: jax.Array,  # uint32 [R]
+    scene: Scene,
+    max_bounce: int,
+    backend: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Trace one sample per ray. Returns ``(radiance [R, 3], rays_traced [])``.
+
+    ``rays_traced`` is the total number of scene intersections actually
+    performed by live lanes (for throughput accounting).
+    """
+    r = origins.shape[0]
+    carry = (
+        origins,
+        dirs,
+        jnp.ones((r, 3), jnp.float32),  # throughput ("rayColor")
+        jnp.zeros((r, 3), jnp.float32),  # accumulated radiance
+        jnp.ones((r,), bool),  # alive mask
+        rng_state,
+        jnp.zeros((), jnp.float32),  # traced-ray counter
+    )
+
+    def bounce(carry, _):
+        pos, d, throughput, light, alive, state, count = carry
+        count = count + jnp.sum(alive.astype(jnp.float32))  # rays traced this step
+
+        ref = nearest_hit(pos, d, scene, backend=backend)
+        hit = resolve_hit(pos, d, ref, scene)
+
+        # Scatter (``raytracing.c:274-277``). Drawing random numbers for dead
+        # lanes is harmless: each lane owns an independent counter stream.
+        state, unit = rng.next_unit_vector(state)
+        diffuse = _normalize(hit.normal + unit)
+        specular = _reflect(d, hit.normal)
+        smooth = hit.smoothness[:, None]
+        new_dir = (1.0 - smooth) * diffuse + smooth * specular
+
+        # Emission weighted by PRE-update throughput, then albedo multiply
+        # (ordering matters — ``raytracing.c:279-281``).
+        live_hit = alive & hit.hit
+        emitted = hit.albedo * hit.emission[:, None]
+        light = light + jnp.where(live_hit[:, None], emitted * throughput, 0.0)
+        new_throughput = throughput * hit.albedo
+
+        # Russian roulette (``raytracing.c:283-287``): survive iff p >= u.
+        state, u_rr = rng.next_uniform(state)
+        p = jnp.max(new_throughput, axis=-1)
+        survive = p >= u_rr
+        new_throughput = new_throughput / jnp.maximum(p, 1e-20)[:, None]
+
+        # Miss: add environment light and terminate (``raytracing.c:289-292``).
+        live_miss = alive & ~hit.hit
+        env = environment_light(d, scene.env)
+        light = light + jnp.where(live_miss[:, None], env * throughput, 0.0)
+
+        throughput = jnp.where(live_hit[:, None], new_throughput, throughput)
+        pos = jnp.where(live_hit[:, None], hit.point, pos)
+        d = jnp.where(live_hit[:, None], new_dir, d)
+        alive = live_hit & survive
+        return (pos, d, throughput, light, alive, state, count), None
+
+    carry, _ = jax.lax.scan(bounce, carry, None, length=max_bounce)
+    _, _, _, light, _, _, count = carry
+    return light, count
+
+
+@partial(jax.jit, static_argnames=("max_bounce", "spp", "backend"))
+def trace_accumulate(
+    origins: jax.Array,
+    dirs: jax.Array,
+    scene: Scene,
+    ray_ids: jax.Array,  # uint32/int32 [R] — global pixel ids for RNG streams
+    seed: int,
+    spp: int,
+    max_bounce: int,
+    backend: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Average ``spp`` samples per ray (``main.c:98-99``'s 1/N accumulation).
+
+    Samples are scanned sequentially (constant memory in spp); each sample gets
+    an independent RNG stream keyed by (seed, ray_id, sample_id).
+    """
+    seed_arr = jnp.uint32(seed)
+
+    def sample(carry, sample_id):
+        acc, total = carry
+        state = rng.stream_init(seed_arr, ray_ids, sample_id)
+        radiance, count = trace_paths(
+            origins, dirs, state, scene, max_bounce, backend=backend
+        )
+        return (acc + radiance, total + count), None
+
+    init = (jnp.zeros_like(origins), jnp.zeros((), jnp.float32))
+    (acc, total), _ = jax.lax.scan(init=init, f=sample, xs=jnp.arange(spp, dtype=jnp.uint32))
+    return acc / jnp.float32(spp), total
