@@ -1,0 +1,100 @@
+"""Benchmark harness: rays/s on the reference's largest scene.
+
+Renders ``suzannes.obj`` (3,868 triangles — the reference's biggest bundled
+scene) at 1080p and reports traced rays per second on the current default JAX
+device. Prints exactly ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+``vs_baseline`` is measured against the CPU reference anchor recorded in
+``BASELINE.md`` (the C renderer at 12 pthreads on this container's single
+core: ≈1.0e6 traced rays/s). The reference publishes no numbers of its own
+(``/root/reference/README.md:1-15``), so the anchor is our own measurement.
+
+Env overrides: BENCH_W, BENCH_H, BENCH_SPP, BENCH_BOUNCE, BENCH_SCENE,
+BENCH_BACKEND, BENCH_REPEATS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_SCENE = "/root/reference/3Dmodels/suzannes.obj"
+# CPU anchor: reference C renderer, traced rays/s (BASELINE.md "Measured so far").
+BASELINE_RAYS_PER_SEC = 1.0e6
+
+
+def main() -> int:
+    width = int(os.environ.get("BENCH_W", 1920))
+    height = int(os.environ.get("BENCH_H", 1080))
+    spp = int(os.environ.get("BENCH_SPP", 8))
+    max_bounce = int(os.environ.get("BENCH_BOUNCE", 8))
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+    repeats = int(os.environ.get("BENCH_REPEATS", 2))
+    scene_path = os.environ.get("BENCH_SCENE", REFERENCE_SCENE)
+
+    import jax
+
+    platform = jax.default_backend()
+    if platform == "cpu":
+        # CPU fallback (no TPU attached): shrink so the bench stays quick.
+        width = int(os.environ.get("BENCH_W", 128))
+        height = int(os.environ.get("BENCH_H", 128))
+        spp = int(os.environ.get("BENCH_SPP", 2))
+        max_bounce = int(os.environ.get("BENCH_BOUNCE", 4))
+
+    from raytracingc_tpu.camera import Camera
+    from raytracingc_tpu.render.renderer import render
+
+    if os.path.exists(scene_path):
+        from raytracingc_tpu.scene.builder import scene_from_obj
+
+        scene = scene_from_obj(scene_path)
+    else:  # standalone checkout without the reference assets
+        from __graft_entry__ import _demo_scene
+
+        scene = _demo_scene()
+        scene_path = "<procedural demo scene>"
+
+    cam = Camera.look_at()
+
+    def run():
+        img, count = render(
+            scene, cam, width, height, spp=spp, max_bounce=max_bounce,
+            seed=0, backend=backend,
+        )
+        jax.block_until_ready(img)
+        return float(count)
+
+    t0 = time.time()
+    count = run()  # warmup + compile
+    compile_s = time.time() - t0
+
+    best = float("inf")
+    for _ in range(max(repeats, 1)):
+        t0 = time.time()
+        count = run()
+        best = min(best, time.time() - t0)
+
+    rays_per_sec = count / best
+    result = {
+        "metric": f"traced rays/s, {os.path.basename(scene_path)} "
+        f"{width}x{height} spp={spp} b={max_bounce} [{platform}]",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# {count:.3g} rays in {best:.3f}s (compile+first run {compile_s:.1f}s), "
+        f"{scene.n_triangles} triangles",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

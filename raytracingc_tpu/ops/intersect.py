@@ -220,55 +220,68 @@ def resolve_hit(o: jax.Array, d: jax.Array, ref: HitRef, scene: Scene) -> Hit:
     function of the output reaches vertex positions, normals, sphere
     parameters, and materials.
     """
-    idx = jnp.maximum(ref.idx, 0)
     tri_sel = ref.hit & ref.is_tri
     sph_sel = ref.hit & ~ref.is_tri
+    # Branch-local gather indices: a lane that won a TRIANGLE must not use its
+    # triangle index into the sphere arrays (it could land on a radius-0
+    # padding sphere, whose 1/radius terms poison the backward pass with
+    # 0 * inf = NaN), and vice versa. Non-selected lanes gather slot 0.
+    tri_idx = jnp.where(tri_sel, ref.idx, 0)
+    sph_idx = jnp.where(sph_sel, ref.idx, 0)
 
     tris, sph = scene.triangles, scene.spheres
 
     # Triangle recompute (unconditional MT distance along the gathered tri).
-    a = _gather(tris.a, idx)
-    b = _gather(tris.b, idx)
-    c = _gather(tris.c, idx)
+    a = _gather(tris.a, tri_idx)
+    b = _gather(tris.b, tri_idx)
+    c = _gather(tris.c, tri_idx)
     ab = b - a
     ac = c - a
     h = jnp.cross(d, ac)
     det = _dot(ab, h)
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+    # Guard at the same EPSILON the search rejects at: any WINNING triangle has
+    # |det| >= EPSILON, so this never alters a selected lane, and it keeps
+    # non-selected lanes (slot-0 gathers) finite in both passes (a 1e-20 guard
+    # lets near-parallel gathers produce inf, which NaNs the backward via the
+    # zero-cotangent where-branches).
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < EPSILON, 1.0, det)
     q = jnp.cross(o - a, ab)
     tri_dst = _dot(ac, q) * inv_det
-    tri_normal = _gather(tris.normal, idx)
+    tri_normal = _gather(tris.normal, tri_idx)
 
-    # Sphere recompute.
-    center = _gather(sph.center, idx) if sph.count else jnp.zeros_like(o)
-    radius = _gather(sph.radius, idx) if sph.count else jnp.ones(o.shape[:1])
+    # Sphere recompute. Slot-0 gathers on non-sphere lanes may still see a
+    # radius-0 padding sphere (all-padding scene); guard the divisions so the
+    # non-selected branch stays finite in both passes.
+    center = _gather(sph.center, sph_idx) if sph.count else jnp.zeros_like(o)
+    radius = _gather(sph.radius, sph_idx) if sph.count else jnp.ones(o.shape[:1])
+    safe_radius = jnp.where(radius > 0.0, radius, 1.0)
     offset = o - center
     bq = _dot(offset, d)
-    delta = bq * bq - (_dot(offset, offset) - radius * radius)
+    delta = bq * bq - (_dot(offset, offset) - safe_radius * safe_radius)
     sq = jnp.sqrt(jnp.maximum(delta, 1e-20))
     sph_dst = jnp.where(-bq - sq < EPSILON, -bq + sq, -bq - sq)
 
     dst = jnp.where(tri_sel, tri_dst, jnp.where(sph_sel, sph_dst, MISS_DST))
     point = o + d * dst[:, None]  # computed even on miss, as the C code does
-    sph_normal = (point - center) / jnp.maximum(radius, 1e-20)[:, None]
+    sph_normal = (point - center) / safe_radius[:, None]
     normal = jnp.where(tri_sel[:, None], tri_normal, sph_normal)
     normal = jnp.where(ref.hit[:, None], normal, 0.0)
 
     sel3 = tri_sel[:, None]
     albedo = jnp.where(
         sel3,
-        _gather(tris.albedo, idx),
-        _gather(sph.albedo, idx) if sph.count else 0.0,
+        _gather(tris.albedo, tri_idx),
+        _gather(sph.albedo, sph_idx) if sph.count else 0.0,
     )
     emission = jnp.where(
         tri_sel,
-        _gather(tris.emission, idx),
-        _gather(sph.emission, idx) if sph.count else 0.0,
+        _gather(tris.emission, tri_idx),
+        _gather(sph.emission, sph_idx) if sph.count else 0.0,
     )
     smoothness = jnp.where(
         tri_sel,
-        _gather(tris.smoothness, idx),
-        _gather(sph.smoothness, idx) if sph.count else 0.0,
+        _gather(tris.smoothness, tri_idx),
+        _gather(sph.smoothness, sph_idx) if sph.count else 0.0,
     )
     zero3 = jnp.zeros_like(albedo)
     return Hit(

@@ -1,0 +1,220 @@
+"""Sharded rendering and sharded differentiable training steps.
+
+This is the TPU-native form of the reference's parallel executor
+(``rowThread`` + pthread spawn/join, ``main.c:81-105,284-303``):
+
+* The pixel axis is sharded over the mesh's ``px`` dimension (the row-cyclic
+  analog — disjoint output tiles, zero communication while tracing).
+* The sample axis (the reference's sequential 4000-iteration accumulation,
+  ``main.c:98-99``) optionally shards over the ``spp`` mesh dimension; the
+  per-device sample means are ``pmean``-combined over ICI.
+* Scene buffers are replicated (suzannes' 3,868 triangles ≈ 170 KB f32 SoA —
+  trivially replicable; block-sharding + all-gather is a future lever for
+  scenes beyond VMEM scale).
+* For training, per-shard scene gradients are ``pmean``-reduced over both mesh
+  axes inside the step, so the optimizer update is identical on every device —
+  pure data parallelism over rays/samples with replicated parameters.
+
+Everything is ``shard_map`` over an explicit ``Mesh``: collectives are
+spelled out (``pmean``/``psum``), shardings are named, and the Pallas search
+kernel runs per-shard without SPMD partitioning hazards.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # JAX >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map
+
+from raytracingc_tpu.camera import Camera, primary_rays
+from raytracingc_tpu.parallel.mesh import make_mesh
+from raytracingc_tpu.render.integrator import trace_accumulate
+from raytracingc_tpu.scene.types import Scene
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _pad_rays(origins, dirs, ray_ids, multiple: int):
+    """Pad the ray arrays to a shardable multiple; padding lanes are masked."""
+    n = origins.shape[0]
+    padded = _round_up(n, multiple)
+    active = jnp.arange(padded, dtype=jnp.int32) < n
+    if padded == n:
+        return origins, dirs, ray_ids, active, n
+    pad = padded - n
+    origins = jnp.pad(origins, ((0, pad), (0, 0)))
+    dirs = jnp.pad(dirs, ((0, pad), (0, 0)))
+    dirs = dirs.at[n:, 2].set(1.0)
+    ray_ids = jnp.pad(ray_ids, (0, pad))
+    return origins, dirs, ray_ids, active, n
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_bounce", "backend", "mesh", "seed"),
+)
+def _render_sharded_jit(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounce: int,
+    seed: int,
+    backend: str,
+    mesh: Mesh,
+):
+    px_size = mesh.shape["px"]
+    spp_size = mesh.shape["spp"]
+    assert spp % spp_size == 0, f"spp={spp} not divisible by mesh spp={spp_size}"
+    spp_per = spp // spp_size
+
+    origins, dirs = primary_rays(camera, width, height)
+    ray_ids = jnp.arange(width * height, dtype=jnp.uint32)
+    origins, dirs, ray_ids, active, n_pix = _pad_rays(
+        origins, dirs, ray_ids, px_size
+    )
+
+    def shard_fn(scene, o, d, ids, act):
+        offset = jax.lax.axis_index("spp").astype(jnp.uint32) * jnp.uint32(spp_per)
+        radiance, count = trace_accumulate(
+            o,
+            d,
+            scene,
+            ids,
+            seed=seed,
+            spp=spp_per,
+            max_bounce=max_bounce,
+            backend=backend,
+            sample_offset=offset,
+            active=act,
+        )
+        # Combine the sample-axis partial means; total traced-ray count over
+        # the whole mesh (for honest rays/s accounting).
+        radiance = jax.lax.pmean(radiance, "spp")
+        count = jax.lax.psum(count, ("px", "spp"))
+        return radiance, count
+
+    radiance, count = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("px"), P("px"), P("px"), P("px")),
+        out_specs=(P("px"), P()),
+        check_vma=False,
+    )(scene, origins, dirs, ray_ids, active)
+
+    image = radiance[:n_pix].reshape(height, width, 3)
+    return image, count
+
+
+def render_sharded(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounce: int,
+    seed: int = 0,
+    backend: str = "auto",
+    strategy: str = "pixels",
+    mesh: Mesh | None = None,
+):
+    """Render across all devices. Returns ``(image [H, W, 3], rays_traced)``.
+
+    ``strategy``: ``"pixels"`` shards the image plane (best for big images),
+    ``"samples"`` shards the spp axis (best for small images at high spp),
+    ``"both"`` splits devices across the two axes. An explicit ``mesh``
+    overrides the strategy.
+    """
+    if mesh is None:
+        n = len(jax.devices())
+        if strategy == "pixels":
+            mesh = make_mesh(px=n, spp=1)
+        elif strategy == "samples":
+            mesh = make_mesh(px=1, spp=n)
+        elif strategy == "both":
+            spp_dim = 2 if n % 2 == 0 and n > 1 else 1
+            mesh = make_mesh(px=n // spp_dim, spp=spp_dim)
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+    return _render_sharded_jit(
+        scene, camera, width, height, spp, max_bounce, seed, backend, mesh
+    )
+
+
+# -----------------------------------------------------------------------------
+# Sharded differentiable training: inverse rendering over a device mesh.
+# -----------------------------------------------------------------------------
+
+
+def make_train_step(
+    mesh: Mesh,
+    optimizer,
+    spp: int,
+    max_bounce: int,
+    backend: str = "auto",
+    seed: int = 0,
+    param_filter=None,
+):
+    """Build a jitted SPMD training step for inverse rendering.
+
+    The step renders the scene from fixed primary rays, takes an L2 loss
+    against a target radiance image, differentiates w.r.t. every scene leaf
+    (vertex positions, normals, materials, environment), ``pmean``s the
+    gradients over the whole mesh, and applies an ``optax`` update — the
+    canonical replicated-parameter / sharded-data layout.
+
+    ``param_filter(path_leaf_grads) -> grads`` may zero out leaves that should
+    stay frozen (e.g. train albedo only). Returns
+    ``step(scene, opt_state, origins, dirs, ray_ids, target) ->
+    (scene, opt_state, loss)``; inputs sharded over ``px``, scene/opt_state
+    replicated.
+    """
+    spp_size = mesh.shape["spp"]
+    assert spp % spp_size == 0, f"spp={spp} not divisible by mesh spp={spp_size}"
+    spp_per = spp // spp_size
+
+    def shard_step(scene, opt_state, origins, dirs, ray_ids, target):
+        offset = jax.lax.axis_index("spp").astype(jnp.uint32) * jnp.uint32(spp_per)
+
+        def loss_fn(s):
+            radiance, _ = trace_accumulate(
+                origins,
+                dirs,
+                s,
+                ray_ids,
+                seed=seed,
+                spp=spp_per,
+                max_bounce=max_bounce,
+                backend=backend,
+                sample_offset=offset,
+            )
+            radiance = jax.lax.pmean(radiance, "spp")
+            return jnp.mean((radiance - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(scene)
+        loss = jax.lax.pmean(loss, ("px", "spp"))
+        grads = jax.lax.pmean(grads, ("px", "spp"))
+        if param_filter is not None:
+            grads = param_filter(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, scene)
+        scene = jax.tree_util.tree_map(lambda p, u: p + u, scene, updates)
+        return scene, opt_state, loss
+
+    sharded = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P("px"), P("px"), P("px"), P("px")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

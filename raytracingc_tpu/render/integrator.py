@@ -47,19 +47,23 @@ def trace_paths(
     scene: Scene,
     max_bounce: int,
     backend: str = "auto",
+    active: jax.Array | None = None,  # bool [R] — padding lanes pass False
 ) -> tuple[jax.Array, jax.Array]:
     """Trace one sample per ray. Returns ``(radiance [R, 3], rays_traced [])``.
 
     ``rays_traced`` is the total number of scene intersections actually
-    performed by live lanes (for throughput accounting).
+    performed by live lanes (for throughput accounting). Lanes with
+    ``active=False`` (shape padding) are dead from the start: zero radiance,
+    zero count.
     """
     r = origins.shape[0]
+    alive0 = jnp.ones((r,), bool) if active is None else active
     carry = (
         origins,
         dirs,
         jnp.ones((r, 3), jnp.float32),  # throughput ("rayColor")
         jnp.zeros((r, 3), jnp.float32),  # accumulated radiance
-        jnp.ones((r,), bool),  # alive mask
+        alive0,  # alive mask
         rng_state,
         jnp.zeros((), jnp.float32),  # traced-ray counter
     )
@@ -87,10 +91,14 @@ def trace_paths(
         new_throughput = throughput * hit.albedo
 
         # Russian roulette (``raytracing.c:283-287``): survive iff p >= u.
+        # The 1/p renorm is guarded with where (not a tiny clamp): lanes with
+        # p == 0 (miss resolves on dead/miss lanes give zero albedo) would
+        # otherwise put ~1e20 partials into the VJP and overflow to NaN.
         state, u_rr = rng.next_uniform(state)
         p = jnp.max(new_throughput, axis=-1)
         survive = p >= u_rr
-        new_throughput = new_throughput / jnp.maximum(p, 1e-20)[:, None]
+        safe_p = jnp.where(p > 0.0, p, 1.0)
+        new_throughput = new_throughput / safe_p[:, None]
 
         # Miss: add environment light and terminate (``raytracing.c:289-292``).
         live_miss = alive & ~hit.hit
@@ -118,22 +126,32 @@ def trace_accumulate(
     spp: int,
     max_bounce: int,
     backend: str = "auto",
+    sample_offset: jax.Array | int = 0,
+    active: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Average ``spp`` samples per ray (``main.c:98-99``'s 1/N accumulation).
 
     Samples are scanned sequentially (constant memory in spp); each sample gets
     an independent RNG stream keyed by (seed, ray_id, sample_id).
+
+    ``sample_offset`` shifts the sample-id range — the hook for sharding the
+    sample axis over devices: device ``k`` passes ``offset = k * spp`` and the
+    per-device means are ``pmean``-combined, identical in expectation (and, for
+    equal shards, exactly) to a single device tracing ``n * spp`` samples.
     """
     seed_arr = jnp.uint32(seed)
+    offset = jnp.asarray(sample_offset, jnp.uint32)
 
     def sample(carry, sample_id):
         acc, total = carry
         state = rng.stream_init(seed_arr, ray_ids, sample_id)
         radiance, count = trace_paths(
-            origins, dirs, state, scene, max_bounce, backend=backend
+            origins, dirs, state, scene, max_bounce, backend=backend, active=active
         )
         return (acc + radiance, total + count), None
 
     init = (jnp.zeros_like(origins), jnp.zeros((), jnp.float32))
-    (acc, total), _ = jax.lax.scan(init=init, f=sample, xs=jnp.arange(spp, dtype=jnp.uint32))
+    (acc, total), _ = jax.lax.scan(
+        init=init, f=sample, xs=jnp.arange(spp, dtype=jnp.uint32) + offset
+    )
     return acc / jnp.float32(spp), total

@@ -55,28 +55,30 @@ def render(
     ray_ids = jnp.arange(n_pix, dtype=jnp.uint32)
 
     padded = _round_up(n_pix, pixel_chunk)
+    active = jnp.arange(padded, dtype=jnp.int32) < n_pix
     if padded != n_pix:
         pad = padded - n_pix
         origins = jnp.pad(origins, ((0, pad), (0, 0)))
         # Padding rays get a valid unit direction so the integrator math stays
-        # finite; their output is sliced away below.
+        # finite; the active mask keeps them dead (no radiance, no ray count).
         dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=0.0)
         dirs = dirs.at[n_pix:, 2].set(1.0)
         ray_ids = jnp.pad(ray_ids, (0, pad))
     n_chunks = padded // pixel_chunk
 
     def one_chunk(args):
-        o, d, ids = args
+        o, d, ids, act = args
         return trace_accumulate(
-            o, d, scene, ids, seed=seed, spp=spp, max_bounce=max_bounce, backend=backend
+            o, d, scene, ids, seed=seed, spp=spp, max_bounce=max_bounce,
+            backend=backend, active=act,
         )
 
     if n_chunks == 1:
-        radiance, count = one_chunk((origins, dirs, ray_ids))
+        radiance, count = one_chunk((origins, dirs, ray_ids, active))
     else:
         resh = lambda x: x.reshape(n_chunks, pixel_chunk, *x.shape[1:])
         radiance, counts = jax.lax.map(
-            one_chunk, (resh(origins), resh(dirs), resh(ray_ids))
+            one_chunk, (resh(origins), resh(dirs), resh(ray_ids), resh(active))
         )
         radiance = radiance.reshape(padded, 3)
         count = jnp.sum(counts)
