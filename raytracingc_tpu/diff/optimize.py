@@ -1,0 +1,126 @@
+"""Inverse rendering: fit scene parameters to target images by gradient descent.
+
+This is the capability the whole differentiable design exists for (the
+reference has nothing comparable): render → L2 loss against a target → grads
+w.r.t. vertices/materials/environment → optax update, optionally SPMD over a
+device mesh (see ``parallel.sharded.make_train_step``), with checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from raytracingc_tpu.camera import Camera, primary_rays
+from raytracingc_tpu.render.integrator import trace_accumulate
+from raytracingc_tpu.scene.types import Scene
+from raytracingc_tpu.utils.checkpoint import load_pytree, save_pytree
+
+
+def leaf_filter(trainable: Sequence[str]) -> Callable[[Any], Any]:
+    """Gradient filter zeroing every leaf whose path matches no substring.
+
+    ``make_train_step(param_filter=leaf_filter(["albedo"]))`` trains albedo
+    only; everything else stays frozen.
+    """
+
+    def apply(grads: Any) -> Any:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(grads)
+        out = [
+            g if any(s in jax.tree_util.keystr(p) for s in trainable)
+            else jnp.zeros_like(g)
+            for p, g in flat
+        ]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return apply
+
+
+def fit_scene(
+    scene: Scene,
+    target: jax.Array,  # [H, W, 3] linear radiance
+    camera: Camera,
+    *,
+    steps: int = 100,
+    learning_rate: float = 1e-2,
+    spp: int = 4,
+    max_bounce: int = 3,
+    seed: int = 0,
+    trainable: Sequence[str] | None = None,
+    optimizer: optax.GradientTransformation | None = None,
+    mesh=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 50,
+    resume: bool = True,
+    log_every: int = 0,
+) -> tuple[Scene, list[float]]:
+    """Gradient-descent loop fitting ``scene`` to ``target``.
+
+    Single-device by default; pass a ``Mesh`` to run the sharded SPMD step.
+    ``trainable`` restricts updates to matching leaves (``["albedo"]`` etc.).
+    ``checkpoint_path`` enables periodic atomic snapshots of
+    (scene, opt_state); with ``resume=True`` an existing checkpoint restarts
+    the loop from its saved step. Returns ``(fitted_scene, losses)``.
+    """
+    height, width = int(target.shape[0]), int(target.shape[1])
+    tgt = target.reshape(-1, 3)
+    origins, dirs = primary_rays(camera, width, height)
+    ray_ids = jnp.arange(width * height, dtype=jnp.uint32)
+    optimizer = optimizer or optax.adam(learning_rate)
+    opt_state = optimizer.init(scene)
+    pfilter = leaf_filter(trainable) if trainable is not None else None
+
+    if mesh is not None:
+        from raytracingc_tpu.parallel.sharded import make_train_step
+
+        step_fn = make_train_step(
+            mesh, optimizer, spp=spp, max_bounce=max_bounce,
+            seed=seed, param_filter=pfilter,
+        )
+    else:
+
+        @jax.jit
+        def step_fn(scene, opt_state, origins, dirs, ray_ids, target):
+            def loss_fn(s):
+                radiance, _ = trace_accumulate(
+                    origins, dirs, s, ray_ids,
+                    seed=seed, spp=spp, max_bounce=max_bounce,
+                )
+                return jnp.mean((radiance - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(scene)
+            if pfilter is not None:
+                grads = pfilter(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, scene)
+            scene = jax.tree_util.tree_map(lambda p, u: p + u, scene, updates)
+            return scene, opt_state, loss
+
+    start = 0
+    if checkpoint_path and resume:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            (scene, opt_state), saved = load_pytree(
+                checkpoint_path, (scene, opt_state)
+            )
+            start = (saved or 0) + 1
+
+    losses: list[float] = []
+    for i in range(start, steps):
+        scene, opt_state, loss = step_fn(
+            scene, opt_state, origins, dirs, ray_ids, tgt
+        )
+        losses.append(float(loss))
+        if log_every and i % log_every == 0:
+            print(f"[fit_scene] step {i}: loss {float(loss):.6g}")
+        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            save_pytree(checkpoint_path, (scene, opt_state), step=i)
+    if checkpoint_path and steps > start:
+        save_pytree(checkpoint_path, (scene, opt_state), step=steps - 1)
+    if not np.all(np.isfinite(losses)):
+        raise FloatingPointError("fit_scene produced non-finite losses")
+    return scene, losses

@@ -165,11 +165,16 @@ def nearest_hit(
     scene: Scene,
     backend: str = "auto",
     tri_chunk: int = 512,
+    alive: jax.Array | None = None,
 ) -> HitRef:
     """Closest-hit search over the whole scene → ``HitRef`` (indices only).
 
     ``backend``: ``"xla"`` (chunked scan, runs anywhere), ``"pallas"`` (tiled
     TPU kernel), or ``"auto"`` (pallas on TPU, xla otherwise).
+
+    ``alive``: optional bool ``[R]`` wavefront mask — lanes marked dead may
+    receive arbitrary miss results (the Pallas backend skips whole dead
+    tiles; the masked integrator never reads dead lanes' hits).
     """
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
@@ -181,7 +186,9 @@ def nearest_hit(
     if backend == "pallas":
         from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
 
-        tri_dst, tri_idx = search_triangles_pallas(o, d, scene_ng.triangles)
+        tri_dst, tri_idx = search_triangles_pallas(
+            o, d, scene_ng.triangles, alive=alive
+        )
     else:
         tri_dst, tri_idx = _search_triangles_xla(
             o, d, scene_ng.triangles, chunk=tri_chunk

@@ -50,14 +50,30 @@ COLS_PER_PROGRAM = 128
 _BIG_I32 = 2**30  # plain int: jnp constants would be captured by the kernel
 
 
-def _search_kernel(rays_ref, tris_ref, dst_ref, idx_ref, *, n_tri_chunks: int):
+def _search_kernel(
+    alive_ref, rays_ref, tris_ref, dst_ref, idx_ref, *, n_tri_chunks: int
+):
     """One program: COLS_PER_PROGRAM ray columns vs. all T triangles.
 
+    alive_ref: (1,) i32 in SMEM — 0 ⇒ every ray in this tile is dead; the
+               whole triangle loop is skipped (wavefront-style dead-tile
+               elimination: after the first bounces, rays that missed the
+               scene die in spatially-coherent clusters).
     rays_ref: (6, 8, COLS) f32 — ox, oy, oz, dx, dy, dz planes.
     tris_ref: (12, T) f32 — ax..az, abx..abz, acx..acz, nx..nz rows.
     dst_ref:  (8, COLS) f32 out.
     idx_ref:  (8, COLS) i32 out.
     """
+    cols = dst_ref.shape[1]
+    dst_ref[:, :] = jnp.full((RAY_SUBLANES, cols), MISS_DST, jnp.float32)
+    idx_ref[:, :] = jnp.full((RAY_SUBLANES, cols), -1, jnp.int32)
+
+    @pl.when(alive_ref[0] != 0)
+    def _run():
+        _search_tile(rays_ref, tris_ref, dst_ref, idx_ref, n_tri_chunks)
+
+
+def _search_tile(rays_ref, tris_ref, dst_ref, idx_ref, n_tri_chunks: int):
     cols = dst_ref.shape[1]
     shape = (RAY_SUBLANES, cols)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -169,7 +185,7 @@ def _round_up(n: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _search_padded(rays_planes, tris_packed, interpret=False):
+def _search_padded(alive_flags, rays_planes, tris_packed, interpret=False):
     n_cols = rays_planes.shape[2]
     t = tris_packed.shape[1]
     n_tri_chunks = t // TRI_LANES
@@ -180,6 +196,7 @@ def _search_padded(rays_planes, tris_packed, interpret=False):
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1,), lambda g: (g,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (6, RAY_SUBLANES, COLS_PER_PROGRAM),
                 lambda g: (0, 0, g),
@@ -210,7 +227,7 @@ def _search_padded(rays_planes, tris_packed, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rays_planes, tris_packed)
+    )(alive_flags, rays_planes, tris_packed)
     return dst, idx
 
 
@@ -219,6 +236,7 @@ def search_triangles_pallas(
     d: jax.Array,
     tris: Triangles,
     interpret: bool | None = None,
+    alive: jax.Array | None = None,
 ):
     """Closest-hit triangle search. Returns ``(best_dst [R], best_idx [R])``.
 
@@ -226,6 +244,10 @@ def search_triangles_pallas(
     rays get zero directions, which hit nothing); triangle SoA → packed
     ``[12, T]`` (T must already be a multiple of 128, guaranteed by the scene
     builder's padding).
+
+    ``alive``: optional bool ``[R]``; tiles of 1024 rays that are entirely
+    dead skip the triangle loop and report misses (their results are unused
+    by the masked integrator anyway).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -236,6 +258,7 @@ def search_triangles_pallas(
     rays_per_program = RAY_SUBLANES * COLS_PER_PROGRAM
     r_padded = _round_up(max(r, 1), rays_per_program)
     cols_padded = r_padded // RAY_SUBLANES
+    n_programs = r_padded // rays_per_program
 
     def to_planes(x: jax.Array) -> jax.Array:
         x = jnp.pad(x, ((0, r_padded - r), (0, 0)))
@@ -245,7 +268,15 @@ def search_triangles_pallas(
     rays_planes = jnp.concatenate([to_planes(o), to_planes(d)], axis=0)  # (6, 8, C)
     tris_packed = pack_triangles(tris)
 
-    dst, idx = _search_padded(rays_planes, tris_packed, interpret=interpret)
+    if alive is None:
+        alive_flags = jnp.ones((n_programs,), jnp.int32)
+    else:
+        padded = jnp.pad(alive.astype(jnp.int32), (0, r_padded - r))
+        alive_flags = jnp.max(padded.reshape(n_programs, rays_per_program), axis=1)
+
+    dst, idx = _search_padded(
+        alive_flags, rays_planes, tris_packed, interpret=interpret
+    )
     # (8, C) → ray-major [r_padded] → slice original count.
     dst = dst.T.reshape(r_padded)[:r]
     idx = idx.T.reshape(r_padded)[:r]

@@ -60,7 +60,9 @@ def _pad_rays(origins, dirs, ray_ids, multiple: int):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_bounce", "backend", "mesh", "seed"),
+    static_argnames=(
+        "width", "height", "spp", "max_bounce", "backend", "mesh", "seed", "early_exit"
+    ),
 )
 def _render_sharded_jit(
     scene: Scene,
@@ -72,6 +74,7 @@ def _render_sharded_jit(
     seed: int,
     backend: str,
     mesh: Mesh,
+    early_exit: bool = True,
 ):
     px_size = mesh.shape["px"]
     spp_size = mesh.shape["spp"]
@@ -97,6 +100,7 @@ def _render_sharded_jit(
             backend=backend,
             sample_offset=offset,
             active=act,
+            early_exit=early_exit,
         )
         # Combine the sample-axis partial means; total traced-ray count over
         # the whole mesh (for honest rays/s accounting).
@@ -127,6 +131,7 @@ def render_sharded(
     backend: str = "auto",
     strategy: str = "pixels",
     mesh: Mesh | None = None,
+    early_exit: bool = True,
 ):
     """Render across all devices. Returns ``(image [H, W, 3], rays_traced)``.
 
@@ -147,7 +152,8 @@ def render_sharded(
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
     return _render_sharded_jit(
-        scene, camera, width, height, spp, max_bounce, seed, backend, mesh
+        scene, camera, width, height, spp, max_bounce, seed, backend, mesh,
+        early_exit,
     )
 
 

@@ -48,6 +48,7 @@ def trace_paths(
     max_bounce: int,
     backend: str = "auto",
     active: jax.Array | None = None,  # bool [R] — padding lanes pass False
+    early_exit: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Trace one sample per ray. Returns ``(radiance [R, 3], rays_traced [])``.
 
@@ -55,6 +56,12 @@ def trace_paths(
     performed by live lanes (for throughput accounting). Lanes with
     ``active=False`` (shape padding) are dead from the start: zero radiance,
     zero count.
+
+    ``early_exit=True`` runs the bounce loop as a ``lax.while_loop`` that
+    stops as soon as every lane is dead — the analog of the C integrator's
+    per-ray ``break`` (``raytracing.c:268-292``), recovered at batch
+    granularity. Identical output; NOT reverse-differentiable (use the
+    default scan when gradients are needed).
     """
     r = origins.shape[0]
     alive0 = jnp.ones((r,), bool) if active is None else active
@@ -72,7 +79,7 @@ def trace_paths(
         pos, d, throughput, light, alive, state, count = carry
         count = count + jnp.sum(alive.astype(jnp.float32))  # rays traced this step
 
-        ref = nearest_hit(pos, d, scene, backend=backend)
+        ref = nearest_hit(pos, d, scene, backend=backend, alive=alive)
         hit = resolve_hit(pos, d, ref, scene)
 
         # Scatter (``raytracing.c:274-277``). Drawing random numbers for dead
@@ -111,12 +118,23 @@ def trace_paths(
         alive = live_hit & survive
         return (pos, d, throughput, light, alive, state, count), None
 
-    carry, _ = jax.lax.scan(bounce, carry, None, length=max_bounce)
+    if early_exit:
+        def cond(state):
+            i, c = state
+            return (i < max_bounce) & jnp.any(c[4])
+
+        def body(state):
+            i, c = state
+            return i + 1, bounce(c, None)[0]
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    else:
+        carry, _ = jax.lax.scan(bounce, carry, None, length=max_bounce)
     _, _, _, light, _, _, count = carry
     return light, count
 
 
-@partial(jax.jit, static_argnames=("max_bounce", "spp", "backend"))
+@partial(jax.jit, static_argnames=("max_bounce", "spp", "backend", "early_exit"))
 def trace_accumulate(
     origins: jax.Array,
     dirs: jax.Array,
@@ -128,6 +146,7 @@ def trace_accumulate(
     backend: str = "auto",
     sample_offset: jax.Array | int = 0,
     active: jax.Array | None = None,
+    early_exit: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Average ``spp`` samples per ray (``main.c:98-99``'s 1/N accumulation).
 
@@ -146,7 +165,8 @@ def trace_accumulate(
         acc, total = carry
         state = rng.stream_init(seed_arr, ray_ids, sample_id)
         radiance, count = trace_paths(
-            origins, dirs, state, scene, max_bounce, backend=backend, active=active
+            origins, dirs, state, scene, max_bounce, backend=backend,
+            active=active, early_exit=early_exit,
         )
         return (acc + radiance, total + count), None
 

@@ -1,0 +1,78 @@
+"""Progressive rendering with sample-batch checkpointing.
+
+The reference accumulates all 4000 samples in one uninterruptible pass
+(``main.c:98-99``); a crash loses everything (SURVEY.md §5.4). Here the spp
+axis is split into batches with disjoint sample-id ranges (the counter-based
+RNG makes batch k's streams identical whether or not batches 0..k-1 ran in
+the same process), and the running radiance sum is snapshotted atomically
+after each batch — a preempted job resumes at the next batch boundary with
+bit-identical final output.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracingc_tpu.camera import Camera
+from raytracingc_tpu.render.renderer import render
+from raytracingc_tpu.scene.types import Scene
+from raytracingc_tpu.utils.checkpoint import load_pytree, save_pytree
+
+
+def render_progressive(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounce: int,
+    *,
+    batch_spp: int = 64,
+    seed: int = 0,
+    backend: str = "auto",
+    checkpoint_path: str | None = None,
+    resume: bool = True,
+    on_batch: Callable[[int, int, jax.Array], None] | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Render ``spp`` samples in batches of ``batch_spp`` with checkpoints.
+
+    Returns ``(image [H, W, 3] linear, rays_traced)`` — identical to
+    :func:`render` with the same total spp and seed. ``on_batch(done, total,
+    partial_image)`` runs after each batch (progress bars, previews).
+    """
+    n_batches = (spp + batch_spp - 1) // batch_spp
+    acc = jnp.zeros((height, width, 3), jnp.float32)
+    count = jnp.zeros((), jnp.float32)
+    done_spp = 0
+
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        (acc, count), saved = load_pytree(checkpoint_path, (acc, count))
+        done_spp = saved or 0
+
+    while done_spp < spp:
+        this = min(batch_spp, spp - done_spp)
+        img, c = render(
+            scene,
+            camera,
+            width,
+            height,
+            spp=this,
+            max_bounce=max_bounce,
+            seed=seed,
+            backend=backend,
+            sample_offset=jnp.uint32(done_spp),
+        )
+        acc = acc + img * np.float32(this)  # de-average back to a sum
+        count = count + c
+        done_spp += this
+        if checkpoint_path:
+            save_pytree(checkpoint_path, (acc, count), step=done_spp)
+        if on_batch is not None:
+            on_batch(done_spp, spp, acc / np.float32(done_spp))
+
+    return acc / np.float32(spp), count

@@ -29,7 +29,9 @@ def _round_up(n: int, m: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_bounce", "backend", "pixel_chunk"),
+    static_argnames=(
+        "width", "height", "spp", "max_bounce", "backend", "pixel_chunk", "early_exit"
+    ),
 )
 def render(
     scene: Scene,
@@ -41,12 +43,18 @@ def render(
     seed: int = 0,
     backend: str = "auto",
     pixel_chunk: int | None = None,
+    early_exit: bool = True,
+    sample_offset: jax.Array | int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Render linear radiance. Returns ``(image [H, W, 3] f32, rays_traced)``.
 
     ``pixel_chunk`` bounds per-step device memory: pixels are padded to a
     multiple and traced chunk-by-chunk under ``lax.map``. ``None`` picks a
     chunk that keeps the live ray state comfortably inside HBM.
+
+    ``early_exit`` (default on) stops each chunk's bounce loop once all its
+    lanes are dead — bit-identical output, NOT reverse-differentiable; pass
+    ``False`` when differentiating through the render.
     """
     n_pix = width * height
     if pixel_chunk is None:
@@ -70,7 +78,8 @@ def render(
         o, d, ids, act = args
         return trace_accumulate(
             o, d, scene, ids, seed=seed, spp=spp, max_bounce=max_bounce,
-            backend=backend, active=act,
+            backend=backend, active=act, early_exit=early_exit,
+            sample_offset=sample_offset,
         )
 
     if n_chunks == 1:

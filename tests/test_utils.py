@@ -1,0 +1,93 @@
+"""Checkpoint, profiling, and progressive-render tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracingc_tpu.camera import Camera
+from raytracingc_tpu.render.progressive import render_progressive
+from raytracingc_tpu.render.renderer import render
+from raytracingc_tpu.utils.checkpoint import load_pytree, save_pytree
+from raytracingc_tpu.utils.profiling import Profiler
+
+
+@pytest.fixture(scope="module")
+def demo_scene():
+    from __graft_entry__ import _demo_scene
+
+    return _demo_scene()
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return Camera.look_at()
+
+
+def test_checkpoint_roundtrip(tmp_path, demo_scene):
+    path = str(tmp_path / "scene.npz")
+    save_pytree(path, demo_scene, step=42)
+    restored, step = load_pytree(path, demo_scene)
+    assert step == 42
+    np.testing.assert_array_equal(
+        np.asarray(restored.triangles.a), np.asarray(demo_scene.triangles.a)
+    )
+    assert restored.triangles.a.dtype == jnp.float32
+
+
+def test_progressive_matches_oneshot(demo_scene, cam):
+    """Batched accumulation with disjoint sample ids must equal the one-shot
+    render with the same total spp exactly (counter-based RNG)."""
+    w = h = 8
+    ref, count_ref = render(demo_scene, cam, w, h, spp=4, max_bounce=2, seed=9)
+    img, count = render_progressive(
+        demo_scene, cam, w, h, spp=4, max_bounce=2, batch_spp=2, seed=9
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), rtol=2e-6, atol=2e-7)
+    assert float(count) == float(count_ref)
+
+
+def test_progressive_resume(demo_scene, cam, tmp_path):
+    w = h = 8
+    ck = str(tmp_path / "render.npz")
+    ref, _ = render_progressive(
+        demo_scene, cam, w, h, spp=4, max_bounce=2, batch_spp=2, seed=9
+    )
+    # Simulate preemption: run only the first batch, then resume to completion.
+    calls = []
+
+    def abort_after_first(done, total, _img):
+        calls.append(done)
+        if done >= 2 and total > done:
+            raise KeyboardInterrupt
+
+    try:
+        render_progressive(
+            demo_scene, cam, w, h, spp=4, max_bounce=2, batch_spp=2, seed=9,
+            checkpoint_path=ck, on_batch=abort_after_first,
+        )
+    except KeyboardInterrupt:
+        pass
+    img, _ = render_progressive(
+        demo_scene, cam, w, h, spp=4, max_bounce=2, batch_spp=2, seed=9,
+        checkpoint_path=ck,
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), rtol=2e-6, atol=2e-7)
+
+
+def test_early_exit_matches_scan(demo_scene, cam):
+    """while_loop early exit must be bit-identical to the fixed-length scan."""
+    w = h = 8
+    a, _ = render(demo_scene, cam, w, h, spp=2, max_bounce=4, seed=1,
+                  early_exit=False)
+    b, _ = render(demo_scene, cam, w, h, spp=2, max_bounce=4, seed=1,
+                  early_exit=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_profiler():
+    prof = Profiler()
+    with prof.phase("x"):
+        pass
+    prof.add_rays(100)
+    s = prof.summary()
+    assert "x=" in s and "rays/s=" in s
