@@ -23,8 +23,12 @@ import sys
 import time
 
 REFERENCE_SCENE = "/root/reference/3Dmodels/suzannes.obj"
-# CPU anchor: reference C renderer, traced rays/s (BASELINE.md "Measured so far").
-BASELINE_RAYS_PER_SEC = 1.0e6
+# CPU anchor: the reference C renderer ON THE SAME SCENE (suzannes.obj,
+# 3,868-triangle brute-force scan): 2.6e4 traced rays/s measured single-core
+# on this container, extrapolated x12 to the 12 cores its pthread count
+# implies (BASELINE.md "Measured so far"). rays/s on this scene is
+# resolution-independent, so the 8x8 measurement anchors the 1080p bench.
+BASELINE_RAYS_PER_SEC = 3.1e5
 
 
 def main() -> int:

@@ -55,10 +55,11 @@ def _search_kernel(
 ):
     """One program: COLS_PER_PROGRAM ray columns vs. all T triangles.
 
-    alive_ref: (1,) i32 in SMEM — 0 ⇒ every ray in this tile is dead; the
-               whole triangle loop is skipped (wavefront-style dead-tile
-               elimination: after the first bounces, rays that missed the
-               scene die in spatially-coherent clusters).
+    alive_ref: (G,) i32 in SMEM (whole array, indexed by program id) —
+               0 ⇒ every ray in this tile is dead; the whole triangle loop is
+               skipped (wavefront-style dead-tile elimination: after the first
+               bounces, rays that missed the scene die in spatially-coherent
+               clusters).
     rays_ref: (6, 8, COLS) f32 — ox, oy, oz, dx, dy, dz planes.
     tris_ref: (12, T) f32 — ax..az, abx..abz, acx..acz, nx..nz rows.
     dst_ref:  (8, COLS) f32 out.
@@ -68,7 +69,7 @@ def _search_kernel(
     dst_ref[:, :] = jnp.full((RAY_SUBLANES, cols), MISS_DST, jnp.float32)
     idx_ref[:, :] = jnp.full((RAY_SUBLANES, cols), -1, jnp.int32)
 
-    @pl.when(alive_ref[0] != 0)
+    @pl.when(alive_ref[pl.program_id(0)] != 0)
     def _run():
         _search_tile(rays_ref, tris_ref, dst_ref, idx_ref, n_tri_chunks)
 
@@ -196,7 +197,7 @@ def _search_padded(alive_flags, rays_planes, tris_packed, interpret=False):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda g: (g,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (G,) flags array
             pl.BlockSpec(
                 (6, RAY_SUBLANES, COLS_PER_PROGRAM),
                 lambda g: (0, 0, g),

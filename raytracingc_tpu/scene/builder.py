@@ -67,23 +67,44 @@ def triangles_from_arrays(
     )
 
 
+def _load_obj_arrays(path: str, verbose: bool, use_native: bool | None):
+    """OBJ parse via the native C++ loader when built, Python otherwise."""
+    if use_native is not False:
+        from raytracingc_tpu.scene import native
+
+        if native.available():
+            return native.load_obj_native(path)
+        if use_native:
+            raise RuntimeError("native loader requested but not built")
+    mesh = load_obj(path, verbose=verbose)
+    return mesh.verts, mesh.normals, mesh.albedo, mesh.emission, mesh.smoothness
+
+
 def scene_from_obj(
     path: str,
     env: EnvParams | None = None,
     pad_to: int = 128,
     verbose: bool = False,
+    use_native: bool | None = None,
 ) -> Scene:
-    """Load an OBJ scene. OBJ mode is triangles-only (``main.c:241``)."""
-    mesh = load_obj(path, verbose=verbose)
-    verts = mesh.verts.copy()
-    normals = mesh.normals.copy()
+    """Load an OBJ scene. OBJ mode is triangles-only (``main.c:241``).
+
+    ``use_native``: ``None`` auto-selects the C++ loader when its shared
+    library is built (same parse contract, verified equal by tests);
+    ``True`` requires it; ``False`` forces the pure-Python parser.
+    """
+    verts0, normals0, albedo, emission, smoothness = _load_obj_arrays(
+        path, verbose, use_native
+    )
+    verts = verts0.copy()
+    normals = normals0.copy()
     # rotZ(180°) import convention (``raytracing.c:118-135``).
     verts[:, :, 0] *= -1.0
     verts[:, :, 1] *= -1.0
     normals[:, 0] *= -1.0
     normals[:, 1] *= -1.0
     tris, n_live = triangles_from_arrays(
-        verts, normals, mesh.albedo, mesh.emission, mesh.smoothness, pad_to=pad_to
+        verts, normals, albedo, emission, smoothness, pad_to=pad_to
     )
     scene = Scene.build(tris, _padded_empty_spheres(), env)
     return scene.replace(n_triangles=n_live, n_spheres=0)
@@ -94,9 +115,22 @@ def scene_from_triangles_txt(
     env: EnvParams | None = None,
     include_default_spheres: bool = True,
     pad_to: int = 128,
+    use_native: bool | None = None,
 ) -> Scene:
     """Load a triangles.txt scene; default mode includes the sphere list."""
-    verts, normals, albedo, emission, smoothness = load_triangles_txt(path)
+    if use_native is not False:
+        from raytracingc_tpu.scene import native
+
+        if native.available():
+            verts, normals, albedo, emission, smoothness = (
+                native.load_triangles_txt_native(path)
+            )
+        elif use_native:
+            raise RuntimeError("native loader requested but not built")
+        else:
+            verts, normals, albedo, emission, smoothness = load_triangles_txt(path)
+    else:
+        verts, normals, albedo, emission, smoothness = load_triangles_txt(path)
     tris, n_live = triangles_from_arrays(
         verts, normals, albedo, emission, smoothness, pad_to=pad_to
     )
