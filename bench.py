@@ -39,6 +39,8 @@ def main() -> int:
     backend = os.environ.get("BENCH_BACKEND", "auto")
     repeats = int(os.environ.get("BENCH_REPEATS", 2))
     scene_path = os.environ.get("BENCH_SCENE", REFERENCE_SCENE)
+    pixel_chunk = os.environ.get("BENCH_CHUNK")
+    pixel_chunk = int(pixel_chunk) if pixel_chunk else None
 
     import jax
 
@@ -68,7 +70,7 @@ def main() -> int:
     def run():
         img, count = render(
             scene, cam, width, height, spp=spp, max_bounce=max_bounce,
-            seed=0, backend=backend,
+            seed=0, backend=backend, pixel_chunk=pixel_chunk,
         )
         jax.block_until_ready(img)
         return float(count)

@@ -1,0 +1,127 @@
+"""Block-AABB acceleration structure (a TPU-shaped "BVH-lite").
+
+The reference scans every triangle for every ray (``raytracing.c:229-237``) —
+O(R·T) with no acceleration structure. A classic pointer-chasing BVH is
+hostile to the TPU's lockstep lanes, so the accelerator here is flat and
+lane-aligned instead:
+
+* Triangles are sorted by the Morton code of their centroid (host-side, at
+  scene build), clustering spatially-near triangles into contiguous runs.
+* Each aligned block of 128 triangles (one VPU lane tile) gets an AABB.
+* The Pallas kernel slab-tests a ray packet against a block's AABB (a handful
+  of scalar ops) and skips the 128 Möller–Trumbore tests when no ray in the
+  packet can hit — the wavefront analog of BVH node culling, at tile
+  granularity.
+
+Exact-match guarantee: the kernel carries ORIGINAL triangle indices and
+breaks distance ties toward the lowest original index, so results are
+bit-identical to the unsorted brute-force scan (and to the C scan order)
+regardless of the permutation.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from flax import struct
+
+from raytracingc_tpu.scene.types import Triangles
+
+BLOCK = 128  # triangles per AABB block == TPU lane width
+_AABB_BIG = 3.0e38  # "always hit" sentinel for trivial accels
+
+
+class TriangleAccel(struct.PyTreeNode):
+    """Morton-permuted triangle soup + per-128-block AABBs.
+
+    ``triangles``: permuted copy of the scene's triangle SoA (padding at the
+    tail). ``orig_idx`` maps permuted slot → original triangle index (padding
+    slots map to a large sentinel so they lose every tie). ``aabb_lo/hi``:
+    ``[B, 3]`` block bounds; padding-only blocks get an inverted AABB that no
+    ray can hit.
+    """
+
+    triangles: Triangles
+    orig_idx: jax.Array  # int32 [T]
+    aabb_lo: jax.Array  # f32 [B, 3]
+    aabb_hi: jax.Array  # f32 [B, 3]
+
+
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit xyz quantized coords into a 30-bit Morton code."""
+
+    def split(v: np.ndarray) -> np.ndarray:
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    x, y, z = (split(q[:, i].astype(np.uint32)) for i in range(3))
+    return x | (y << 1) | (z << 2)
+
+
+def build_accel(tris: Triangles, n_live: int) -> TriangleAccel:
+    """Sort live triangles by centroid Morton code and compute block AABBs."""
+    t = tris.a.shape[0]
+    a = np.asarray(tris.a)
+    b = np.asarray(tris.b)
+    c = np.asarray(tris.c)
+
+    if n_live > 0:
+        cent = (a[:n_live] + b[:n_live] + c[:n_live]) / 3.0
+        lo = cent.min(axis=0)
+        span = np.maximum(cent.max(axis=0) - lo, 1e-12)
+        q = np.clip(((cent - lo) / span * 1023.0), 0, 1023).astype(np.uint32)
+        order = np.argsort(_morton3(q), kind="stable").astype(np.int32)
+    else:
+        order = np.zeros((0,), np.int32)
+    perm = np.concatenate([order, np.arange(n_live, t, dtype=np.int32)])
+
+    def take(x):
+        return jax.numpy.asarray(np.asarray(x)[perm])
+
+    permuted = Triangles(
+        a=take(tris.a),
+        b=take(tris.b),
+        c=take(tris.c),
+        normal=take(tris.normal),
+        albedo=take(tris.albedo),
+        emission=take(tris.emission),
+        smoothness=take(tris.smoothness),
+    )
+    # Padding slots get a huge original index: they can never win a tie (they
+    # also never hit — zero normals fail the backface test).
+    orig = perm.copy()
+    orig[n_live:] = 2**30
+
+    n_blocks = t // BLOCK
+    pa, pb, pc = a[perm], b[perm], c[perm]
+    lo_blocks = np.full((n_blocks, 3), _AABB_BIG, np.float32)
+    hi_blocks = np.full((n_blocks, 3), -_AABB_BIG, np.float32)
+    for blk in range(n_blocks):
+        s, e = blk * BLOCK, min((blk + 1) * BLOCK, n_live)
+        if s >= n_live:
+            continue  # padding-only block: inverted AABB, never hit
+        vs = np.concatenate([pa[s:e], pb[s:e], pc[s:e]], axis=0)
+        lo_blocks[blk] = vs.min(axis=0)
+        hi_blocks[blk] = vs.max(axis=0)
+
+    return TriangleAccel(
+        triangles=permuted,
+        orig_idx=jax.numpy.asarray(orig),
+        aabb_lo=jax.numpy.asarray(lo_blocks),
+        aabb_hi=jax.numpy.asarray(hi_blocks),
+    )
+
+
+def trivial_accel(tris: Triangles) -> TriangleAccel:
+    """Identity accel: no reorder, every block 'always hit' (brute force)."""
+    t = tris.a.shape[0]
+    n_blocks = max(t // BLOCK, 1)
+    return TriangleAccel(
+        triangles=tris,
+        orig_idx=jax.numpy.arange(t, dtype=jax.numpy.int32),
+        aabb_lo=jax.numpy.full((n_blocks, 3), -_AABB_BIG, jax.numpy.float32),
+        aabb_hi=jax.numpy.full((n_blocks, 3), _AABB_BIG, jax.numpy.float32),
+    )

@@ -187,7 +187,7 @@ def nearest_hit(
         from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
 
         tri_dst, tri_idx = search_triangles_pallas(
-            o, d, scene_ng.triangles, alive=alive
+            o, d, scene_ng.triangles, alive=alive, accel=scene_ng.accel
         )
     else:
         tri_dst, tri_idx = _search_triangles_xla(

@@ -3,31 +3,38 @@
 This is the production form of the reference's hot loop
 (``calculateRayCollision``'s triangle scan, ``raytracing.c:229-237``): a
 streaming argmin over Möller–Trumbore distances for every (ray, triangle)
-pair, O(R × T) with no acceleration structure, exactly like the C scan — but
-tiled for the VPU instead of looping per scalar.
+pair — but tiled for the VPU instead of looping per scalar, and accelerated
+by two lane-aligned culling levels the C scan lacks:
+
+1. **Dead-tile skip** — whole 1024-ray programs whose lanes are all dead
+   (wavefront mask) skip everything (SMEM flags + ``pl.when``).
+2. **Block-AABB range culling** — triangles arrive Morton-clustered in
+   128-wide blocks with per-block AABBs (``ops/accel.py``). Each 8-ray packet
+   slab-tests ALL blocks at once (blocks along the lane axis, one vectorized
+   pass), then loops only the [first, last] hitting-block range. Sky packets
+   hit nothing → empty range → zero MT work; hit packets scan a narrow
+   Morton-local range. This keeps scalar↔vector synchronization to two
+   reductions per packet (a per-chunk ``lax.cond`` costs a sync per block and
+   measures ~4x SLOWER than no culling at all).
 
 Layout
 ------
 * Rays are passed transposed as six ``[8, R/8]`` component planes (ox…dz);
   each grid program owns a ``(6, 8, 128)`` block = 1024 rays.
 * Triangles are packed as one ``[12, T]`` plane: rows are A (3), AB (3),
-  AC (3), N (3) — edges precomputed on the host so the kernel skips the two
-  vertex subtractions. A row slice yields a ``(1, 128)`` tile broadcasting
-  along the 8-ray sublane axis.
-* The inner unit of work is an ``(8 rays × 128 triangles)`` pairwise tile of
-  pure VPU arithmetic. The kernel loops ray columns × triangle lane-chunks,
-  carrying per-(ray, lane-slot) running minima, then reduces across lane slots.
+  AC (3), N (3) — edges precomputed on the host. A row slice yields a
+  ``(1, 128)`` tile broadcasting along the 8-ray sublane axis.
+* ``orig_idx`` ``[1, T]`` i32 carries ORIGINAL triangle ids; ties break
+  toward the lowest original id, so results are bit-identical to the
+  unsorted C scan order no matter how the accel permuted the blocks.
+* AABBs live in VMEM as ``(6, B_pad)`` rows (blocks along lanes, padded to
+  128 with inverted never-hit boxes); the per-packet slab test is plain tile
+  arithmetic against them. Scenes beyond 128 blocks (16,384 triangles)
+  currently fall back to the uncculled scan (see ``search_triangles_pallas``).
 
 Mosaic TPU cannot address single dynamic lanes (dynamic lane offsets must be
 128-aligned), so per-column ray extraction and result scatter use masked
-select/reduce against a lane iota instead of dynamic slicing — a ~1% overhead
-against the inner MT loop.
-
-Ties resolve to the lowest triangle index, matching the C scan order (strict
-``<`` update). The kernel returns (best_dst, best_idx) per ray;
-material/normal gathering and the differentiable distance recompute happen
-outside (see ``intersect.py``). Padding triangles are all-zero ⇒ zero normal
-fails the backface test ⇒ never hit, so no live-count masking is needed.
+select/reduce against a lane iota instead of dynamic slicing.
 """
 
 from __future__ import annotations
@@ -39,6 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from raytracingc_tpu.ops.accel import TriangleAccel, trivial_accel
 from raytracingc_tpu.scene.types import EPSILON, MISS_DST, Triangles
 
 # Tile geometry: 8 rays (sublanes) × 128 triangles (lanes) per inner step.
@@ -51,30 +59,28 @@ _BIG_I32 = 2**30  # plain int: jnp constants would be captured by the kernel
 
 
 def _search_kernel(
-    alive_ref, rays_ref, tris_ref, dst_ref, idx_ref, *, n_tri_chunks: int
+    alive_ref,  # (G,) i32 SMEM — whole array, indexed by program id
+    aabb_ref,  # (6, B_pad) f32 VMEM — rows lox loy loz hix hiy hiz per block
+    rays_ref,  # (7, 8, COLS) f32 VMEM — ox, oy, oz, dx, dy, dz, alive planes
+    tris_ref,  # (12, T) f32 VMEM — A, AB, AC, N rows (accel-permuted order)
+    oidx_ref,  # (1, T) i32 VMEM — original triangle index per permuted slot
+    dst_ref,  # (8, COLS) f32 out
+    idx_ref,  # (8, COLS) i32 out
+    *,
+    n_tri_chunks: int,
 ):
-    """One program: COLS_PER_PROGRAM ray columns vs. all T triangles.
-
-    alive_ref: (G,) i32 in SMEM (whole array, indexed by program id) —
-               0 ⇒ every ray in this tile is dead; the whole triangle loop is
-               skipped (wavefront-style dead-tile elimination: after the first
-               bounces, rays that missed the scene die in spatially-coherent
-               clusters).
-    rays_ref: (6, 8, COLS) f32 — ox, oy, oz, dx, dy, dz planes.
-    tris_ref: (12, T) f32 — ax..az, abx..abz, acx..acz, nx..nz rows.
-    dst_ref:  (8, COLS) f32 out.
-    idx_ref:  (8, COLS) i32 out.
-    """
     cols = dst_ref.shape[1]
     dst_ref[:, :] = jnp.full((RAY_SUBLANES, cols), MISS_DST, jnp.float32)
     idx_ref[:, :] = jnp.full((RAY_SUBLANES, cols), -1, jnp.int32)
 
     @pl.when(alive_ref[pl.program_id(0)] != 0)
     def _run():
-        _search_tile(rays_ref, tris_ref, dst_ref, idx_ref, n_tri_chunks)
+        _search_tile(aabb_ref, rays_ref, tris_ref, oidx_ref, dst_ref, idx_ref,
+                     n_tri_chunks)
 
 
-def _search_tile(rays_ref, tris_ref, dst_ref, idx_ref, n_tri_chunks: int):
+def _search_tile(aabb_ref, rays_ref, tris_ref, oidx_ref, dst_ref, idx_ref,
+                 n_tri_chunks: int):  # noqa: D103
     cols = dst_ref.shape[1]
     shape = (RAY_SUBLANES, cols)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -83,6 +89,7 @@ def _search_tile(rays_ref, tris_ref, dst_ref, idx_ref, n_tri_chunks: int):
     # Full ray component tiles, read once.
     ox_t, oy_t, oz_t = rays_ref[0], rays_ref[1], rays_ref[2]
     dx_t, dy_t, dz_t = rays_ref[3], rays_ref[4], rays_ref[5]
+    alive_t = rays_ref[6]  # 1.0 = live lane, 0.0 = dead/padding
 
     def tri_row(r: int, j) -> jax.Array:
         off = pl.multiple_of(j * TRI_LANES, TRI_LANES)
@@ -97,13 +104,52 @@ def _search_tile(rays_ref, tris_ref, dst_ref, idx_ref, n_tri_chunks: int):
 
         ox, oy, oz = extract(ox_t), extract(oy_t), extract(oz_t)
         dx, dy, dz = extract(dx_t), extract(dy_t), extract(dz_t)
+        alive8 = extract(alive_t) > 0.0  # (8, 1)
 
-        def per_tri_chunk(j, carry):
-            best_d, best_i = carry
+        # Reciprocal directions for the slab test. The magnitude clamp keeps
+        # IEEE infinities out; the substitution is CONSERVATIVE (an axis with
+        # |d| ~ 0 yields ±huge slab bounds — inside-origin rays still pass,
+        # outside-origin rays still miss, regardless of substituted sign).
+        def inv(v):
+            return 1.0 / jnp.where(jnp.abs(v) < 1e-20, 1e-20, v)
+
+        inv_dx, inv_dy, inv_dz = inv(dx), inv(dy), inv(dz)
+
+        # One vectorized slab test of this 8-ray packet against EVERY block
+        # (blocks along lanes): (8, B_pad) tiles, ~25 ops total. The chunk
+        # loop then covers only the [first, last] hitting range — empty for
+        # sky packets, Morton-local for hit packets.
+        lox, loy, loz = aabb_ref[0:1, :], aabb_ref[1:2, :], aabb_ref[2:3, :]
+        hix, hiy, hiz = aabb_ref[3:4, :], aabb_ref[4:5, :], aabb_ref[5:6, :]
+        t0x = (lox - ox) * inv_dx
+        t1x = (hix - ox) * inv_dx
+        t0y = (loy - oy) * inv_dy
+        t1y = (hiy - oy) * inv_dy
+        t0z = (loz - oz) * inv_dz
+        t1z = (hiz - oz) * inv_dz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        # Dead lanes must not widen the range: their directions are stale
+        # (bounce-terminated or shape padding) and their results are never
+        # read by the masked integrator.
+        hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & alive8  # (8, B_pad)
+        blk_iota = jax.lax.broadcasted_iota(jnp.int32, hit_box.shape, 1)
+        first = jnp.min(jnp.where(hit_box, blk_iota, _BIG_I32))
+        last = jnp.max(jnp.where(hit_box, blk_iota, -1))
+
+        def mt_chunk(j, best_d, best_i):
             ax, ay, az = tri_row(0, j), tri_row(1, j), tri_row(2, j)
             abx, aby, abz = tri_row(3, j), tri_row(4, j), tri_row(5, j)
             acx, acy, acz = tri_row(6, j), tri_row(7, j), tri_row(8, j)
             nx, ny, nz = tri_row(9, j), tri_row(10, j), tri_row(11, j)
+            off = pl.multiple_of(j * TRI_LANES, TRI_LANES)
+            oidx = oidx_ref[0:1, pl.ds(off, TRI_LANES)]  # (1, 128) i32
 
             # Backface cull against the stored normal (``raytracing.c:189``).
             dn = dx * nx + dy * ny + dz * nz
@@ -139,19 +185,30 @@ def _search_tile(rays_ref, tris_ref, dst_ref, idx_ref, n_tri_chunks: int):
                 & (dst >= EPSILON)
             )
             dst = jnp.where(valid, dst, MISS_DST)
-            take = dst < best_d  # strict < keeps earlier (lower-index) winner
+            oidx_b = jnp.broadcast_to(oidx, (RAY_SUBLANES, TRI_LANES))
+            # Lexicographic (dst, original index): bit-identical to the
+            # sequential C scan order under any block permutation.
+            take = (dst < best_d) | ((dst == best_d) & (oidx_b < best_i))
             best_d = jnp.where(take, dst, best_d)
-            best_i = jnp.where(take, j * TRI_LANES + lane_iota, best_i)
+            best_i = jnp.where(take, oidx_b, best_i)
             return best_d, best_i
+
+        def per_tri_chunk(j, carry):
+            return mt_chunk(j, *carry)
 
         init = (
             jnp.full((RAY_SUBLANES, TRI_LANES), MISS_DST, jnp.float32),
             jnp.full((RAY_SUBLANES, TRI_LANES), _BIG_I32, jnp.int32),
         )
-        best_d, best_i = jax.lax.fori_loop(0, n_tri_chunks, per_tri_chunk, init)
+        best_d, best_i = jax.lax.fori_loop(
+            first,
+            jnp.minimum(last + 1, n_tri_chunks),
+            per_tri_chunk,
+            init,
+        )
 
-        # Cross-lane reduction: min distance, then the lowest index among the
-        # lanes achieving it (exact-tie semantics of the sequential C scan).
+        # Cross-lane reduction: min distance, then the lowest original index
+        # among the lanes achieving it (exact C tie semantics).
         dmin = jnp.min(best_d, axis=1, keepdims=True)  # (8, 1)
         imin = jnp.min(
             jnp.where(best_d <= dmin, best_i, _BIG_I32), axis=1, keepdims=True
@@ -186,7 +243,8 @@ def _round_up(n: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _search_padded(alive_flags, rays_planes, tris_packed, interpret=False):
+def _search_padded(alive_flags, aabbs, rays_planes, tris_packed, orig_idx,
+                   interpret=False):
     n_cols = rays_planes.shape[2]
     t = tris_packed.shape[1]
     n_tri_chunks = t // TRI_LANES
@@ -197,13 +255,17 @@ def _search_padded(alive_flags, rays_planes, tris_packed, interpret=False):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (G,) flags array
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (G,) alive flags
             pl.BlockSpec(
-                (6, RAY_SUBLANES, COLS_PER_PROGRAM),
+                (6, aabbs.shape[1]), lambda g: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (7, RAY_SUBLANES, COLS_PER_PROGRAM),
                 lambda g: (0, 0, g),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((12, t), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -224,11 +286,11 @@ def _search_padded(alive_flags, rays_planes, tris_packed, interpret=False):
         cost_estimate=pl.CostEstimate(
             flops=60 * RAY_SUBLANES * n_cols * t,
             bytes_accessed=(6 * RAY_SUBLANES + 2 * RAY_SUBLANES) * n_cols * 4
-            + 12 * t * 4,
+            + 13 * t * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(alive_flags, rays_planes, tris_packed)
+    )(alive_flags, aabbs, rays_planes, tris_packed, orig_idx)
     return dst, idx
 
 
@@ -238,20 +300,27 @@ def search_triangles_pallas(
     tris: Triangles,
     interpret: bool | None = None,
     alive: jax.Array | None = None,
+    accel: TriangleAccel | None = None,
 ):
     """Closest-hit triangle search. Returns ``(best_dst [R], best_idx [R])``.
 
-    Handles layout: rays ``[R, 3]``×2 → ``(6, 8, ceil(R/8))`` planes (padded
-    rays get zero directions, which hit nothing); triangle SoA → packed
-    ``[12, T]`` (T must already be a multiple of 128, guaranteed by the scene
-    builder's padding).
+    ``best_idx`` is always in ORIGINAL triangle order (the accel's block
+    permutation is internal). Handles layout: rays ``[R, 3]``×2 →
+    ``(6, 8, ceil(R/8))`` planes (padded rays get +z directions and are
+    culled by ``alive``); triangle SoA → packed ``[12, T]`` (T must be a
+    multiple of 128, guaranteed by the scene builder's padding).
 
     ``alive``: optional bool ``[R]``; tiles of 1024 rays that are entirely
-    dead skip the triangle loop and report misses (their results are unused
-    by the masked integrator anyway).
+    dead skip the triangle loop and report misses.
+
+    ``accel``: Morton/AABB structure from ``ops.accel.build_accel``; when
+    absent, a trivial always-hit accel reproduces the brute-force scan.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if accel is None:
+        accel = trivial_accel(tris)
+    tris = accel.triangles
     r = o.shape[0]
     t = tris.a.shape[0]
     assert t % TRI_LANES == 0, "triangle count must be padded to a multiple of 128"
@@ -266,8 +335,35 @@ def search_triangles_pallas(
         # ray id = col * 8 + sublane ⇒ reshape (cols, 8) then transpose.
         return x.reshape(cols_padded, RAY_SUBLANES, 3).transpose(2, 1, 0)
 
-    rays_planes = jnp.concatenate([to_planes(o), to_planes(d)], axis=0)  # (6, 8, C)
+    if alive is None:
+        alive_f = jnp.ones((r, 1), jnp.float32)
+    else:
+        alive_f = alive.astype(jnp.float32).reshape(r, 1)
+    alive_plane = to_planes(jnp.broadcast_to(alive_f, (r, 3)))[:1]  # (1, 8, C)
+    rays_planes = jnp.concatenate(
+        [to_planes(o), to_planes(d), alive_plane], axis=0
+    )  # (7, 8, C)
     tris_packed = pack_triangles(tris)
+    orig_idx = accel.orig_idx.reshape(1, t)
+    n_blocks = t // TRI_LANES
+    if n_blocks > TRI_LANES:
+        # >128 blocks (16,384+ triangles): the single-pass block mask no
+        # longer fits one lane row; run unculled until multi-group masks land.
+        accel = trivial_accel(tris)
+    # (6, B_pad): rows lox loy loz hix hiy hiz, blocks along lanes, padded to
+    # the lane width with inverted (never-hit) boxes.
+    lo = accel.aabb_lo.T  # (3, B)
+    hi = accel.aabb_hi.T
+    b_pad = TRI_LANES
+    pad = b_pad - lo.shape[1]
+    big = jnp.float32(3.0e38)
+    aabbs = jnp.concatenate(
+        [
+            jnp.pad(lo, ((0, 0), (0, pad)), constant_values=big),
+            jnp.pad(hi, ((0, 0), (0, pad)), constant_values=-big),
+        ],
+        axis=0,
+    )
 
     if alive is None:
         alive_flags = jnp.ones((n_programs,), jnp.int32)
@@ -276,7 +372,8 @@ def search_triangles_pallas(
         alive_flags = jnp.max(padded.reshape(n_programs, rays_per_program), axis=1)
 
     dst, idx = _search_padded(
-        alive_flags, rays_planes, tris_packed, interpret=interpret
+        alive_flags, aabbs, rays_planes, tris_packed, orig_idx,
+        interpret=interpret,
     )
     # (8, C) → ray-major [r_padded] → slice original count.
     dst = dst.T.reshape(r_padded)[:r]

@@ -107,7 +107,7 @@ def scene_from_obj(
         verts, normals, albedo, emission, smoothness, pad_to=pad_to
     )
     scene = Scene.build(tris, _padded_empty_spheres(), env)
-    return scene.replace(n_triangles=n_live, n_spheres=0)
+    return scene.replace(n_triangles=n_live, n_spheres=0).with_accel()
 
 
 def scene_from_triangles_txt(
@@ -139,7 +139,7 @@ def scene_from_triangles_txt(
     else:
         spheres, n_sph = _padded_empty_spheres(), 0
     scene = Scene.build(tris, spheres, env)
-    return scene.replace(n_triangles=n_live, n_spheres=n_sph)
+    return scene.replace(n_triangles=n_live, n_spheres=n_sph).with_accel()
 
 
 def _padded_empty_spheres(pad_to: int = 8) -> Spheres:

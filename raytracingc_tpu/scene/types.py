@@ -132,24 +132,45 @@ class Scene(struct.PyTreeNode):
 
     ``n_triangles``/``n_spheres`` record the live (unpadded) counts as static
     metadata so kernels can mask padding without data-dependent shapes.
+
+    ``accel`` optionally carries the Morton/block-AABB structure from
+    ``ops.accel.build_accel`` (a permuted geometry copy + per-block bounds).
+    The Pallas search uses it when present; results are bit-identical either
+    way (original-index tie-breaking). NOTE: when optimizing vertex positions,
+    rebuild or drop the accel — its geometry copy does not receive gradient
+    updates (the search is ``stop_gradient``-ed by design).
     """
 
     triangles: Triangles
     spheres: Spheres
     env: EnvParams
+    accel: Any = None
     n_triangles: int = struct.field(pytree_node=False, default=0)
     n_spheres: int = struct.field(pytree_node=False, default=0)
 
     @classmethod
     def build(
-        cls, triangles: Triangles, spheres: Spheres, env: EnvParams | None = None
+        cls,
+        triangles: Triangles,
+        spheres: Spheres,
+        env: EnvParams | None = None,
+        accel: Any = None,
     ) -> "Scene":
         return cls(
             triangles=triangles,
             spheres=spheres,
             env=env if env is not None else EnvParams.default(),
+            accel=accel,
             n_triangles=triangles.count,
             n_spheres=spheres.count,
+        )
+
+    def with_accel(self) -> "Scene":
+        """Return a copy carrying a freshly built block-AABB accel."""
+        from raytracingc_tpu.ops.accel import build_accel
+
+        return self.replace(
+            accel=build_accel(self.triangles, self.n_triangles)
         )
 
 
