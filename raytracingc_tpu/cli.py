@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pixel-chunk", type=int, default=None,
                    help="pixels traced per device step (memory bound)")
     p.add_argument("--profile", action="store_true", help="print timing breakdown")
+    p.add_argument("--debug-bounces", action="store_true",
+                   help="render the bounce-count heatmap instead of radiance "
+                        "(the reference's calcDebugColor, raytracing.c:242-260)")
     return p
 
 
@@ -98,7 +101,15 @@ def main(argv: list[str] | None = None) -> int:
     width, height = args.size
 
     t1 = time.time()
-    if args.shard == "none":
+    if args.debug_bounces:
+        from raytracingc_tpu.render.integrator import render_debug
+
+        linear = np.asarray(render_debug(
+            scene, cam, width, height, max_bounce=args.max_bounce,
+            seed=args.seed, backend=args.backend,
+        ))
+        count = float(width * height)
+    elif args.shard == "none":
         from raytracingc_tpu.render.renderer import render
 
         linear, count = render(

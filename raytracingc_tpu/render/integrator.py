@@ -49,6 +49,7 @@ def trace_paths(
     backend: str = "auto",
     active: jax.Array | None = None,  # bool [R] — padding lanes pass False
     early_exit: bool = False,
+    first_hit=None,  # optional precomputed Hit for bounce 0 (primary cache)
 ) -> tuple[jax.Array, jax.Array]:
     """Trace one sample per ray. Returns ``(radiance [R, 3], rays_traced [])``.
 
@@ -62,6 +63,12 @@ def trace_paths(
     per-ray ``break`` (``raytracing.c:268-292``), recovered at batch
     granularity. Identical output; NOT reverse-differentiable (use the
     default scan when gradients are needed).
+
+    ``first_hit``: a precomputed ``resolve_hit`` result for (origins, dirs) —
+    primary rays are deterministic per pixel, so the accumulator computes the
+    first intersection ONCE and shares it across all spp samples (the C code
+    redundantly recomputes the identical intersection every sample,
+    ``main.c:98-99`` → ``raytracing.c:270``). Bit-identical results.
     """
     r = origins.shape[0]
     alive0 = jnp.ones((r,), bool) if active is None else active
@@ -75,12 +82,9 @@ def trace_paths(
         jnp.zeros((), jnp.float32),  # traced-ray counter
     )
 
-    def bounce(carry, _):
+    def bounce_with_hit(carry, hit):
         pos, d, throughput, light, alive, state, count = carry
         count = count + jnp.sum(alive.astype(jnp.float32))  # rays traced this step
-
-        ref = nearest_hit(pos, d, scene, backend=backend, alive=alive)
-        hit = resolve_hit(pos, d, ref, scene)
 
         # Scatter (``raytracing.c:274-277``). Drawing random numbers for dead
         # lanes is harmless: each lane owns an independent counter stream.
@@ -118,10 +122,21 @@ def trace_paths(
         alive = live_hit & survive
         return (pos, d, throughput, light, alive, state, count), None
 
+    def bounce(carry, _):
+        pos, d, _, _, alive, _, _ = carry
+        ref = nearest_hit(pos, d, scene, backend=backend, alive=alive)
+        hit = resolve_hit(pos, d, ref, scene)
+        return bounce_with_hit(carry, hit)
+
+    remaining = max_bounce
+    if first_hit is not None and max_bounce >= 1:
+        carry, _ = bounce_with_hit(carry, first_hit)
+        remaining = max_bounce - 1
+
     if early_exit:
         def cond(state):
             i, c = state
-            return (i < max_bounce) & jnp.any(c[4])
+            return (i < remaining) & jnp.any(c[4])
 
         def body(state):
             i, c = state
@@ -129,7 +144,7 @@ def trace_paths(
 
         _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
     else:
-        carry, _ = jax.lax.scan(bounce, carry, None, length=max_bounce)
+        carry, _ = jax.lax.scan(bounce, carry, None, length=remaining)
     _, _, _, light, _, _, count = carry
     return light, count
 
@@ -161,12 +176,23 @@ def trace_accumulate(
     seed_arr = jnp.uint32(seed)
     offset = jnp.asarray(sample_offset, jnp.uint32)
 
+    # Primary-hit cache: the bounce-0 intersection is identical for every
+    # sample of a pixel (deterministic primary ray), so search+resolve once
+    # and share the Hit across the sample scan. The count accounting below
+    # still charges one traced ray per sample per live lane, as the C code
+    # actually performs them (``raytracing.c:270``).
+    if max_bounce >= 1:
+        ref0 = nearest_hit(origins, dirs, scene, backend=backend, alive=active)
+        hit0 = resolve_hit(origins, dirs, ref0, scene)
+    else:
+        hit0 = None
+
     def sample(carry, sample_id):
         acc, total = carry
         state = rng.stream_init(seed_arr, ray_ids, sample_id)
         radiance, count = trace_paths(
             origins, dirs, state, scene, max_bounce, backend=backend,
-            active=active, early_exit=early_exit,
+            active=active, early_exit=early_exit, first_hit=hit0,
         )
         return (acc + radiance, total + count), None
 
@@ -175,3 +201,77 @@ def trace_accumulate(
         init=init, f=sample, xs=jnp.arange(spp, dtype=jnp.uint32) + offset
     )
     return acc / jnp.float32(spp), total
+
+
+def trace_debug_bounces(
+    origins: jax.Array,
+    dirs: jax.Array,
+    rng_state: jax.Array,
+    scene: Scene,
+    max_bounce: int,
+    backend: str = "auto",
+) -> jax.Array:
+    """Bounce-count heatmap (reference ``calcDebugColor``, ``raytracing.c:242-260``).
+
+    Walks the same scatter/roulette loop but returns grayscale
+    ``bounces / max_bounce`` per ray instead of radiance — the reference's
+    (manually wired) render-debug integrator, exposed here as a first-class
+    entry point (CLI ``--debug-bounces``). Returns ``[R, 3]`` in [0, 1].
+    """
+    r = origins.shape[0]
+    carry = (
+        origins,
+        dirs,
+        jnp.zeros((r,), jnp.float32),  # bounce counter per lane
+        jnp.ones((r,), bool),
+        rng_state,
+    )
+
+    def bounce(carry, _):
+        pos, d, n_bounce, alive, state = carry
+        ref = nearest_hit(pos, d, scene, backend=backend, alive=alive)
+        hit = resolve_hit(pos, d, ref, scene)
+
+        state, unit = rng.next_unit_vector(state)
+        diffuse = _normalize(hit.normal + unit)
+        specular = _reflect(d, hit.normal)
+        smooth = hit.smoothness[:, None]
+        new_dir = (1.0 - smooth) * diffuse + smooth * specular
+
+        live_hit = alive & hit.hit
+        n_bounce = n_bounce + live_hit.astype(jnp.float32)
+
+        state, u_rr = rng.next_uniform(state)
+        p = jnp.max(hit.albedo, axis=-1)
+        survive = p >= u_rr
+
+        pos = jnp.where(live_hit[:, None], hit.point, pos)
+        d = jnp.where(live_hit[:, None], new_dir, d)
+        alive = live_hit & survive
+        return (pos, d, n_bounce, alive, state), None
+
+    carry, _ = jax.lax.scan(bounce, carry, None, length=max_bounce)
+    _, _, n_bounce, _, _ = carry
+    shade = jnp.clip(n_bounce / jnp.float32(max(max_bounce, 1)), 0.0, 1.0)
+    return jnp.broadcast_to(shade[:, None], (r, 3))
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_bounce", "backend"))
+def render_debug(
+    scene: Scene,
+    camera,
+    width: int,
+    height: int,
+    max_bounce: int,
+    seed: int = 0,
+    backend: str = "auto",
+) -> jax.Array:
+    """Full-image bounce heatmap, one sample per pixel → ``[H, W, 3]``."""
+    from raytracingc_tpu.camera import primary_rays
+
+    origins, dirs = primary_rays(camera, width, height)
+    ray_ids = jnp.arange(width * height, dtype=jnp.uint32)
+    state = rng.stream_init(jnp.uint32(seed), ray_ids, 0)
+    img = trace_debug_bounces(origins, dirs, state, scene, max_bounce,
+                              backend=backend)
+    return img.reshape(height, width, 3)

@@ -58,7 +58,9 @@ def render(
     """
     n_pix = width * height
     if pixel_chunk is None:
-        pixel_chunk = int(min(max(_round_up(n_pix, 1024), 1024), 262144))
+        # 64k-ray chunks: small enough that sky-dominated chunks exit the
+        # bounce while_loop early, big enough to amortize kernel launches.
+        pixel_chunk = int(min(max(_round_up(n_pix, 1024), 1024), 65536))
     origins, dirs = primary_rays(camera, width, height)
     ray_ids = jnp.arange(n_pix, dtype=jnp.uint32)
 

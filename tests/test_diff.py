@@ -137,3 +137,49 @@ def test_fit_checkpoint_resume(demo_scene, cam, tmp_path):
         trainable=["ground"], checkpoint_path=ck, checkpoint_every=2,
     )
     assert len(l2) == 2  # steps 4..5 only
+
+
+def test_vertex_grads_match_fd(demo_scene, cam):
+    """Geometry gradients: our analytic vertex gradient is the
+    visibility-frozen subgradient (the argmin choice is held constant, the
+    winning triangle's distance is differentiated — SURVEY.md §7 "backward
+    through a discrete argmin"). Freezing the search result makes the loss
+    genuinely smooth in the vertices, so EVERY FD probe must match. (With a
+    live search, silhouette-crossing probes legitimately disagree — that
+    discontinuity is inherent to visibility, also in the reference.)"""
+    import jax as _jax
+    from raytracingc_tpu.camera import primary_rays
+    from raytracingc_tpu.ops.intersect import nearest_hit, resolve_hit
+
+    w = h = 8
+    origins, dirs = primary_rays(cam, w, h)
+    ref = nearest_hit(origins, dirs, demo_scene)  # frozen hit assignment
+
+    def loss_fn(s):
+        hit = resolve_hit(origins, dirs, ref, s)
+        return jnp.sum(jnp.where(hit.hit, hit.dst, 0.0)) / (w * h)
+
+    g = _jax.grad(loss_fn)(demo_scene)
+    gv = np.asarray(g.triangles.a)
+    assert np.isfinite(gv).all() and np.abs(gv).max() > 0
+
+    rng = np.random.default_rng(1)
+    loss_jit = _jax.jit(loss_fn)
+    for k in range(6):
+        v = rng.standard_normal(demo_scene.triangles.a.shape).astype(np.float32)
+        v /= np.linalg.norm(v)
+        v = jnp.asarray(v)
+        # The frozen-search loss is smooth, so a larger step is safe — and
+        # needed: at eps=1e-3 the f32 loss (~10) quantizes the difference.
+        eps = 1e-2
+
+        def shift(hh):
+            return demo_scene.replace(
+                triangles=demo_scene.triangles.replace(
+                    a=demo_scene.triangles.a + hh * v
+                )
+            )
+
+        fd = float((loss_jit(shift(eps)) - loss_jit(shift(-eps))) / (2 * eps))
+        an = float(jnp.sum(g.triangles.a * v))
+        assert abs(fd - an) <= 1e-4 + 3e-2 * max(abs(fd), abs(an)), (k, fd, an)
