@@ -51,6 +51,7 @@ def fit_scene(
     max_bounce: int = 3,
     seed: int = 0,
     trainable: Sequence[str] | None = None,
+    param_filter: Callable[[Any], Any] | None = None,
     optimizer: optax.GradientTransformation | None = None,
     mesh=None,
     checkpoint_path: str | None = None,
@@ -71,8 +72,15 @@ def fit_scene(
     origins, dirs = primary_rays(camera, width, height)
     ray_ids = jnp.arange(width * height, dtype=jnp.uint32)
     optimizer = optimizer or optax.adam(learning_rate)
+    # The accel (int indices + a geometry copy) is not a parameter: detach it
+    # from the differentiated pytree and reattach inside the loss.
+    accel = scene.accel
+    scene = scene.replace(accel=None)
     opt_state = optimizer.init(scene)
-    pfilter = leaf_filter(trainable) if trainable is not None else None
+    if param_filter is not None:
+        pfilter = param_filter  # full custom gradient mask wins
+    else:
+        pfilter = leaf_filter(trainable) if trainable is not None else None
 
     if mesh is not None:
         from raytracingc_tpu.parallel.sharded import make_train_step
@@ -87,7 +95,7 @@ def fit_scene(
         def step_fn(scene, opt_state, origins, dirs, ray_ids, target):
             def loss_fn(s):
                 radiance, _ = trace_accumulate(
-                    origins, dirs, s, ray_ids,
+                    origins, dirs, s.replace(accel=accel), ray_ids,
                     seed=seed, spp=spp, max_bounce=max_bounce,
                 )
                 return jnp.mean((radiance - target) ** 2)
@@ -123,4 +131,16 @@ def fit_scene(
         save_pytree(checkpoint_path, (scene, opt_state), step=steps - 1)
     if not np.all(np.isfinite(losses)):
         raise FloatingPointError("fit_scene produced non-finite losses")
+    geom_keys = ("triangles.a", "triangles.b", "triangles.c",
+                 "triangles.normal")
+    geometry_trained = trainable is None or any(
+        t in g or g in t for t in trainable for g in geom_keys
+    )
+    if accel is not None:
+        # Reattach; rebuild if geometry may have moved (the accel holds its
+        # own geometry copy, which does not receive updates).
+        if geometry_trained:
+            scene = scene.with_accel()
+        else:
+            scene = scene.replace(accel=accel)
     return scene, losses

@@ -53,6 +53,9 @@ from raytracingc_tpu.scene.types import EPSILON, MISS_DST, Triangles
 RAY_SUBLANES = 8
 TRI_LANES = 128
 # Ray columns per grid program (8 * 128 = 1024 rays, lane-aligned blocks).
+# Measured sweet spot: the per-column masked extract reduces over the whole
+# (8, COLS) tile, so its cost is quadratic in COLS — 1024-column programs
+# benched 28% SLOWER than 128 despite 8x fewer triangle-block DMAs.
 COLS_PER_PROGRAM = 128
 
 _BIG_I32 = 2**30  # plain int: jnp constants would be captured by the kernel

@@ -184,6 +184,10 @@ def make_train_step(
     ``step(scene, opt_state, origins, dirs, ray_ids, target) ->
     (scene, opt_state, loss)``; inputs sharded over ``px``, scene/opt_state
     replicated.
+
+    The scene's ``accel`` (int indices + a geometry copy) is detached from
+    differentiation internally; initialize ``opt_state`` with
+    ``optimizer.init(scene.replace(accel=None))``.
     """
     spp_size = mesh.shape["spp"]
     assert spp % spp_size == 0, f"spp={spp} not divisible by mesh spp={spp_size}"
@@ -191,12 +195,14 @@ def make_train_step(
 
     def shard_step(scene, opt_state, origins, dirs, ray_ids, target):
         offset = jax.lax.axis_index("spp").astype(jnp.uint32) * jnp.uint32(spp_per)
+        accel = scene.accel
+        scene = scene.replace(accel=None)
 
         def loss_fn(s):
             radiance, _ = trace_accumulate(
                 origins,
                 dirs,
-                s,
+                s.replace(accel=accel),
                 ray_ids,
                 seed=seed,
                 spp=spp_per,
@@ -214,7 +220,7 @@ def make_train_step(
             grads = param_filter(grads)
         updates, opt_state = optimizer.update(grads, opt_state, scene)
         scene = jax.tree_util.tree_map(lambda p, u: p + u, scene, updates)
-        return scene, opt_state, loss
+        return scene.replace(accel=accel), opt_state, loss
 
     sharded = shard_map(
         shard_step,

@@ -1,0 +1,79 @@
+"""The reference's graded asset ladder (SURVEY.md §4) as loader+render fixtures.
+
+Every bundled OBJ must load (both parsers) and render without NaNs; the
+special assets exercise specific paths: empty MTLs → default material,
+``simple.obj``'s missing ``test.mtl`` → warning path, ``ultracomplex.obj`` →
+multi-material + Ns=1000 mirror, ``rsuzanne.obj`` → emissive eyes material.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from raytracingc_tpu.camera import Camera
+from raytracingc_tpu.render.renderer import render
+from raytracingc_tpu.scene.builder import scene_from_obj
+from raytracingc_tpu.scene.obj_loader import load_obj
+
+LADDER = [
+    ("simplest.obj", 1),
+    ("plane.obj", 2),
+    ("simple.obj", None),  # references a missing test.mtl (warning path)
+    ("cube.obj", 12),
+    ("fcube.obj", None),
+    ("ccube.obj", None),
+    ("4geoms.obj", None),
+    ("complex.obj", None),
+    ("asuzane.obj", None),
+    ("rsuzanne.obj", None),
+    ("fsuzane.obj", None),
+    ("suze.obj", None),
+    ("suzannes.obj", 3868),
+    ("ultracomplex.obj", 120),
+]
+
+
+@pytest.mark.parametrize("name,count", LADDER)
+def test_ladder_loads(models_dir, name, count):
+    path = os.path.join(models_dir, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not bundled")
+    mesh = load_obj(path)
+    assert mesh.count > 0
+    if count is not None:
+        assert mesh.count == count
+    assert np.isfinite(mesh.verts).all()
+    # Normals from the file are unit length (Blender exports them normalized).
+    norms = np.linalg.norm(mesh.normals, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_ultracomplex_materials(models_dir):
+    """3 materials incl. the Ns=1000 mirror → smoothness exactly 1.0."""
+    mesh = load_obj(os.path.join(models_dir, "ultracomplex.obj"))
+    assert len(mesh.materials) == 3
+    assert np.isclose(mesh.smoothness.max(), 1.0)
+    assert np.isclose(mesh.smoothness.min(), 0.5)
+
+
+def test_rsuzanne_emissive_eyes(models_dir):
+    """rsuzanne.mtl has `Ke 10 0 0` eyes → scalar emission 10 triangles."""
+    path = os.path.join(models_dir, "rsuzanne.obj")
+    if not os.path.exists(path):
+        pytest.skip("rsuzanne not bundled")
+    mesh = load_obj(path)
+    assert (mesh.emission == 10.0).any()
+
+
+@pytest.mark.parametrize("name", ["plane.obj", "4geoms.obj", "ultracomplex.obj"])
+def test_ladder_renders(models_dir, name):
+    path = os.path.join(models_dir, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not bundled")
+    scene = scene_from_obj(path)
+    img, count = render(scene, Camera.look_at(), 8, 8, spp=2, max_bounce=3,
+                        seed=2)
+    arr = np.asarray(img)
+    assert np.isfinite(arr).all() and (arr >= 0).all()
+    assert float(count) > 0
