@@ -238,10 +238,22 @@ def resolve_hit(o: jax.Array, d: jax.Array, ref: HitRef, scene: Scene) -> Hit:
 
     tris, sph = scene.triangles, scene.spheres
 
+    # ONE packed row-gather per primitive type instead of 12 scattered
+    # gathers: TPU gathers are row-oriented, and separate small gathers
+    # measured ~4.4 ms per bounce at 64k rays (as slow as the whole search).
+    tri_table = jnp.concatenate(
+        [
+            tris.a, tris.b, tris.c, tris.normal, tris.albedo,
+            tris.emission[:, None], tris.smoothness[:, None],
+        ],
+        axis=1,
+    )  # (T, 17)
+    tri_rows = jnp.take(tri_table, tri_idx, axis=0)  # (R, 17)
+
     # Triangle recompute (unconditional MT distance along the gathered tri).
-    a = _gather(tris.a, tri_idx)
-    b = _gather(tris.b, tri_idx)
-    c = _gather(tris.c, tri_idx)
+    a = tri_rows[:, 0:3]
+    b = tri_rows[:, 3:6]
+    c = tri_rows[:, 6:9]
     ab = b - a
     ac = c - a
     h = jnp.cross(d, ac)
@@ -254,13 +266,23 @@ def resolve_hit(o: jax.Array, d: jax.Array, ref: HitRef, scene: Scene) -> Hit:
     inv_det = 1.0 / jnp.where(jnp.abs(det) < EPSILON, 1.0, det)
     q = jnp.cross(o - a, ab)
     tri_dst = _dot(ac, q) * inv_det
-    tri_normal = _gather(tris.normal, tri_idx)
+    tri_normal = tri_rows[:, 9:12]
+
+    if sph.count:
+        sph_table = jnp.concatenate(
+            [
+                sph.center, sph.radius[:, None], sph.albedo,
+                sph.emission[:, None], sph.smoothness[:, None],
+            ],
+            axis=1,
+        )  # (S, 9)
+        sph_rows = jnp.take(sph_table, sph_idx, axis=0)  # (R, 9)
 
     # Sphere recompute. Slot-0 gathers on non-sphere lanes may still see a
     # radius-0 padding sphere (all-padding scene); guard the divisions so the
     # non-selected branch stays finite in both passes.
-    center = _gather(sph.center, sph_idx) if sph.count else jnp.zeros_like(o)
-    radius = _gather(sph.radius, sph_idx) if sph.count else jnp.ones(o.shape[:1])
+    center = sph_rows[:, 0:3] if sph.count else jnp.zeros_like(o)
+    radius = sph_rows[:, 3] if sph.count else jnp.ones(o.shape[:1])
     safe_radius = jnp.where(radius > 0.0, radius, 1.0)
     offset = o - center
     bq = _dot(offset, d)
@@ -277,18 +299,18 @@ def resolve_hit(o: jax.Array, d: jax.Array, ref: HitRef, scene: Scene) -> Hit:
     sel3 = tri_sel[:, None]
     albedo = jnp.where(
         sel3,
-        _gather(tris.albedo, tri_idx),
-        _gather(sph.albedo, sph_idx) if sph.count else 0.0,
+        tri_rows[:, 12:15],
+        sph_rows[:, 4:7] if sph.count else 0.0,
     )
     emission = jnp.where(
         tri_sel,
-        _gather(tris.emission, tri_idx),
-        _gather(sph.emission, sph_idx) if sph.count else 0.0,
+        tri_rows[:, 15],
+        sph_rows[:, 7] if sph.count else 0.0,
     )
     smoothness = jnp.where(
         tri_sel,
-        _gather(tris.smoothness, tri_idx),
-        _gather(sph.smoothness, sph_idx) if sph.count else 0.0,
+        tri_rows[:, 16],
+        sph_rows[:, 8] if sph.count else 0.0,
     )
     zero3 = jnp.zeros_like(albedo)
     return Hit(

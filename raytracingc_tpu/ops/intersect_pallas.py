@@ -63,7 +63,8 @@ _BIG_I32 = 2**30  # plain int: jnp constants would be captured by the kernel
 
 def _search_kernel(
     alive_ref,  # (G,) i32 SMEM — whole array, indexed by program id
-    aabb_ref,  # (6, B_pad) f32 VMEM — rows lox loy loz hix hiy hiz per block
+    first_ref,  # (C,) i32 SMEM — whole array: per-column first hitting block
+    last_ref,  # (C,) i32 SMEM — whole array: per-column last hitting block
     rays_ref,  # (7, 8, COLS) f32 VMEM — ox, oy, oz, dx, dy, dz, alive planes
     tris_ref,  # (12, T) f32 VMEM — A, AB, AC, N rows (accel-permuted order)
     oidx_ref,  # (1, T) i32 VMEM — original triangle index per permuted slot
@@ -76,14 +77,17 @@ def _search_kernel(
     dst_ref[:, :] = jnp.full((RAY_SUBLANES, cols), MISS_DST, jnp.float32)
     idx_ref[:, :] = jnp.full((RAY_SUBLANES, cols), -1, jnp.int32)
 
-    @pl.when(alive_ref[pl.program_id(0)] != 0)
+    pid = pl.program_id(0)
+    col_base = pid * cols
+
+    @pl.when(alive_ref[pid] != 0)
     def _run():
-        _search_tile(aabb_ref, rays_ref, tris_ref, oidx_ref, dst_ref, idx_ref,
-                     n_tri_chunks)
+        _search_tile(first_ref, last_ref, rays_ref, tris_ref, oidx_ref,
+                     dst_ref, idx_ref, n_tri_chunks, col_base=col_base)
 
 
-def _search_tile(aabb_ref, rays_ref, tris_ref, oidx_ref, dst_ref, idx_ref,
-                 n_tri_chunks: int):  # noqa: D103
+def _search_tile(first_ref, last_ref, rays_ref, tris_ref, oidx_ref, dst_ref,
+                 idx_ref, n_tri_chunks: int, col_base):  # noqa: D103
     cols = dst_ref.shape[1]
     shape = (RAY_SUBLANES, cols)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -107,44 +111,15 @@ def _search_tile(aabb_ref, rays_ref, tris_ref, oidx_ref, dst_ref, idx_ref,
 
         ox, oy, oz = extract(ox_t), extract(oy_t), extract(oz_t)
         dx, dy, dz = extract(dx_t), extract(dy_t), extract(dz_t)
-        alive8 = extract(alive_t) > 0.0  # (8, 1)
 
-        # Reciprocal directions for the slab test. The magnitude clamp keeps
-        # IEEE infinities out; the substitution is CONSERVATIVE (an axis with
-        # |d| ~ 0 yields ±huge slab bounds — inside-origin rays still pass,
-        # outside-origin rays still miss, regardless of substituted sign).
-        def inv(v):
-            return 1.0 / jnp.where(jnp.abs(v) < 1e-20, 1e-20, v)
-
-        inv_dx, inv_dy, inv_dz = inv(dx), inv(dy), inv(dz)
-
-        # One vectorized slab test of this 8-ray packet against EVERY block
-        # (blocks along lanes): (8, B_pad) tiles, ~25 ops total. The chunk
-        # loop then covers only the [first, last] hitting range — empty for
-        # sky packets, Morton-local for hit packets.
-        lox, loy, loz = aabb_ref[0:1, :], aabb_ref[1:2, :], aabb_ref[2:3, :]
-        hix, hiy, hiz = aabb_ref[3:4, :], aabb_ref[4:5, :], aabb_ref[5:6, :]
-        t0x = (lox - ox) * inv_dx
-        t1x = (hix - ox) * inv_dx
-        t0y = (loy - oy) * inv_dy
-        t1y = (hiy - oy) * inv_dy
-        t0z = (loz - oz) * inv_dz
-        t1z = (hiz - oz) * inv_dz
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z),
-        )
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        # Dead lanes must not widen the range: their directions are stale
-        # (bounce-terminated or shape padding) and their results are never
-        # read by the masked integrator.
-        hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & alive8  # (8, B_pad)
-        blk_iota = jax.lax.broadcasted_iota(jnp.int32, hit_box.shape, 1)
-        first = jnp.min(jnp.where(hit_box, blk_iota, _BIG_I32))
-        last = jnp.max(jnp.where(hit_box, blk_iota, -1))
+        # Per-column hitting-block range, precomputed VECTORIZED in XLA and
+        # handed over via SMEM: scalar loop bounds with NO vector->scalar
+        # sync (an in-kernel jnp.min/max to scalar per column measured
+        # ~50 us/program of pipeline stalls — the kernel's old fixed cost).
+        # Whole-array SMEM with absolute indexing: 1-D blocked SMEM specs
+        # fail Mosaic layout verification (T(1024) vs T(128)).
+        first = first_ref[col_base + i]
+        last = last_ref[col_base + i]
 
         def mt_chunk(j, best_d, best_i):
             ax, ay, az = tri_row(0, j), tri_row(1, j), tri_row(2, j)
@@ -204,10 +179,7 @@ def _search_tile(aabb_ref, rays_ref, tris_ref, oidx_ref, dst_ref, idx_ref,
             jnp.full((RAY_SUBLANES, TRI_LANES), _BIG_I32, jnp.int32),
         )
         best_d, best_i = jax.lax.fori_loop(
-            first,
-            jnp.minimum(last + 1, n_tri_chunks),
-            per_tri_chunk,
-            init,
+            first, last + 1, per_tri_chunk, init
         )
 
         # Cross-lane reduction: min distance, then the lowest original index
@@ -246,8 +218,8 @@ def _round_up(n: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _search_padded(alive_flags, aabbs, rays_planes, tris_packed, orig_idx,
-                   interpret=False):
+def _search_padded(alive_flags, first, last, rays_planes, tris_packed,
+                   orig_idx, interpret=False):
     n_cols = rays_planes.shape[2]
     t = tris_packed.shape[1]
     n_tri_chunks = t // TRI_LANES
@@ -259,9 +231,8 @@ def _search_padded(alive_flags, aabbs, rays_planes, tris_packed, orig_idx,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (G,) alive flags
-            pl.BlockSpec(
-                (6, aabbs.shape[1]), lambda g: (0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (C,) first blocks
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (C,) last blocks
             pl.BlockSpec(
                 (7, RAY_SUBLANES, COLS_PER_PROGRAM),
                 lambda g: (0, 0, g),
@@ -293,7 +264,7 @@ def _search_padded(alive_flags, aabbs, rays_planes, tris_packed, orig_idx,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(alive_flags, aabbs, rays_planes, tris_packed, orig_idx)
+    )(alive_flags, first, last, rays_planes, tris_packed, orig_idx)
     return dst, idx
 
 
@@ -346,36 +317,40 @@ def search_triangles_pallas(
     rays_planes = jnp.concatenate(
         [to_planes(o), to_planes(d), alive_plane], axis=0
     )  # (7, 8, C)
+
+    # Per-column (8-ray packet) hitting-block ranges, computed vectorized
+    # here (XLA) and passed to the kernel as SMEM scalars — see
+    # ``_search_tile`` for why this must not happen inside the kernel.
+    o_p = jnp.pad(o, ((0, r_padded - r), (0, 0))).reshape(cols_padded, 8, 3)
+    d_p = jnp.pad(d, ((0, r_padded - r), (0, 0))).reshape(cols_padded, 8, 3)
+    a_p = (
+        jnp.pad(alive_f[:, 0], (0, r_padded - r))
+        .reshape(cols_padded, 8) > 0.0
+    )
+    inv_p = 1.0 / jnp.where(jnp.abs(d_p) < 1e-20, 1e-20, d_p)
+    lo = accel.aabb_lo  # (B, 3)
+    hi = accel.aabb_hi
+    t0 = (lo[None, None] - o_p[:, :, None]) * inv_p[:, :, None]  # (C, 8, B, 3)
+    t1 = (hi[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (C, 8, B)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & a_p[:, :, None]
+    any_hit = jnp.any(hit_box, axis=1)  # (C, B)
+    blk_iota = jnp.arange(lo.shape[0], dtype=jnp.int32)[None, :]
+    first = jnp.min(
+        jnp.where(any_hit, blk_iota, jnp.int32(_BIG_I32)), axis=1
+    )  # (C,)
+    last = jnp.max(jnp.where(any_hit, blk_iota, -1), axis=1)  # (C,)
     tris_packed = pack_triangles(tris)
     orig_idx = accel.orig_idx.reshape(1, t)
-    n_blocks = t // TRI_LANES
-    if n_blocks > TRI_LANES:
-        # >128 blocks (16,384+ triangles): the single-pass block mask no
-        # longer fits one lane row; run unculled until multi-group masks land.
-        accel = trivial_accel(tris)
-    # (6, B_pad): rows lox loy loz hix hiy hiz, blocks along lanes, padded to
-    # the lane width with inverted (never-hit) boxes.
-    lo = accel.aabb_lo.T  # (3, B)
-    hi = accel.aabb_hi.T
-    b_pad = TRI_LANES
-    pad = b_pad - lo.shape[1]
-    big = jnp.float32(3.0e38)
-    aabbs = jnp.concatenate(
-        [
-            jnp.pad(lo, ((0, 0), (0, pad)), constant_values=big),
-            jnp.pad(hi, ((0, 0), (0, pad)), constant_values=-big),
-        ],
-        axis=0,
-    )
 
-    if alive is None:
-        alive_flags = jnp.ones((n_programs,), jnp.int32)
-    else:
-        padded = jnp.pad(alive.astype(jnp.int32), (0, r_padded - r))
-        alive_flags = jnp.max(padded.reshape(n_programs, rays_per_program), axis=1)
+    # A program can be skipped when EVERY column's range is empty (covers
+    # both dead lanes and packets that miss the whole scene).
+    nonempty = (first <= last).reshape(n_programs, COLS_PER_PROGRAM)
+    alive_flags = jnp.max(nonempty.astype(jnp.int32), axis=1)
 
     dst, idx = _search_padded(
-        alive_flags, aabbs, rays_planes, tris_packed, orig_idx,
+        alive_flags, first, last, rays_planes, tris_packed, orig_idx,
         interpret=interpret,
     )
     # (8, C) → ray-major [r_padded] → slice original count.
