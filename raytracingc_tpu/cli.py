@@ -62,6 +62,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-bounces", action="store_true",
                    help="render the bounce-count heatmap instead of radiance "
                         "(the reference's calcDebugColor, raytracing.c:242-260)")
+    p.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture a device profile trace to DIR (TensorBoard)")
+    p.add_argument("--checkpoint", metavar="FILE.npz", default=None,
+                   help="progressive sample-batch checkpointing (resumable)")
+    p.add_argument("--batch-spp", type=int, default=64,
+                   help="samples per checkpoint batch (with --checkpoint)")
+    # Multi-host bring-up (jax.distributed); all three auto-detect on Cloud TPU.
+    p.add_argument("--coordinator", default=None, help="host:port of process 0")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -75,6 +85,17 @@ def main(argv: list[str] | None = None) -> int:
     from raytracingc_tpu.render.image import tonemap_to_bytes, write_image
     from raytracingc_tpu.scene.builder import scene_from_obj, scene_from_triangles_txt
     from raytracingc_tpu.scene.types import EnvParams
+
+    if args.num_processes or args.coordinator:
+        from raytracingc_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+
+    if args.trace:
+        import jax as _jax
+
+        _jax.profiler.start_trace(args.trace)
 
     t0 = time.time()
     sun = np.array(args.sun[:3], np.float32)
@@ -109,6 +130,14 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed, backend=args.backend,
         ))
         count = float(width * height)
+    elif args.checkpoint:
+        from raytracingc_tpu.render.progressive import render_progressive
+
+        linear, count = render_progressive(
+            scene, cam, width, height, spp=args.spp,
+            max_bounce=args.max_bounce, seed=args.seed, backend=args.backend,
+            batch_spp=args.batch_spp, checkpoint_path=args.checkpoint,
+        )
     elif args.shard == "none":
         from raytracingc_tpu.render.renderer import render
 
@@ -136,6 +165,11 @@ def main(argv: list[str] | None = None) -> int:
           f"({rays / max(t_render, 1e-9):.3g} rays/s) → {args.output}")
     if args.profile:
         print(f"[profile] load={t_load:.3f}s render={t_render:.3f}s")
+    if args.trace:
+        import jax as _jax
+
+        _jax.profiler.stop_trace()
+        print(f"[trace] device profile written to {args.trace}")
     return 0
 
 

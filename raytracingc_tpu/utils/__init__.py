@@ -11,3 +11,7 @@ from raytracingc_tpu.utils.checkpoint import (  # noqa: F401
     save_pytree,
 )
 from raytracingc_tpu.utils.profiling import Profiler, trace_annotation  # noqa: F401
+from raytracingc_tpu.utils.resilient import (  # noqa: F401
+    RenderFailure,
+    render_resilient,
+)

@@ -91,3 +91,45 @@ def test_profiler():
     prof.add_rays(100)
     s = prof.summary()
     assert "x=" in s and "rays/s=" in s
+
+
+def test_render_resilient_retries_and_resumes():
+    from raytracingc_tpu.utils.resilient import RenderFailure, render_resilient
+
+    state = {"progress": 0, "fails": 2}
+
+    def batches():
+        state["progress"] += 1
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise RuntimeError("transient device loss")
+        return ("done", state["progress"])
+
+    out = render_resilient(
+        batches, progress=lambda: state["progress"], max_retries=2,
+        backoff_s=0.0,
+    )
+    assert out[0] == "done"
+
+    # No progress + deterministic failure → RenderFailure after retries.
+    def always_fails():
+        raise RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RenderFailure):
+        render_resilient(always_fails, progress=lambda: 0, max_retries=1,
+                         backoff_s=0.0)
+
+
+def test_cli_checkpoint_flag(tmp_path):
+    import os
+
+    from raytracingc_tpu.cli import main
+
+    out = str(tmp_path / "o.bmp")
+    ck = str(tmp_path / "ck.npz")
+    rc = main(["-i", "/root/reference/3Dmodels/simplest.obj", "-s", "8", "8",
+               "--spp", "4", "-b", "2", "--batch-spp", "2",
+               "--checkpoint", ck, "-o", out])
+    assert rc == 0 and os.path.exists(ck) and os.path.exists(out)
