@@ -27,10 +27,9 @@ Layout
 * ``orig_idx`` ``[1, T]`` i32 carries ORIGINAL triangle ids; ties break
   toward the lowest original id, so results are bit-identical to the
   unsorted C scan order no matter how the accel permuted the blocks.
-* AABBs live in VMEM as ``(6, B_pad)`` rows (blocks along lanes, padded to
-  128 with inverted never-hit boxes); the per-packet slab test is plain tile
-  arithmetic against them. Scenes beyond 128 blocks (16,384 triangles)
-  currently fall back to the uncculled scan (see ``search_triangles_pallas``).
+* Per-packet hitting-block ranges are precomputed VECTORIZED in XLA (any
+  block count; memory bounded by a scan over block groups) and handed to the
+  kernel as whole-array SMEM scalars.
 
 Mosaic TPU cannot address single dynamic lanes (dynamic lane offsets must be
 128-aligned), so per-column ray extraction and result scatter use masked
@@ -179,7 +178,7 @@ def _search_tile(first_ref, last_ref, rays_ref, tris_ref, oidx_ref, dst_ref,
             jnp.full((RAY_SUBLANES, TRI_LANES), _BIG_I32, jnp.int32),
         )
         best_d, best_i = jax.lax.fori_loop(
-            first, last + 1, per_tri_chunk, init
+            first, jnp.minimum(last + 1, n_tri_chunks), per_tri_chunk, init
         )
 
         # Cross-lane reduction: min distance, then the lowest original index
@@ -268,6 +267,58 @@ def _search_padded(alive_flags, first, last, rays_planes, tris_packed,
     return dst, idx
 
 
+def packet_block_ranges(o_p, d_p, a_p, accel: TriangleAccel):
+    """Per-packet [first, last] hitting-block range via AABB slab tests.
+
+    ``o_p/d_p``: ``(C, 8, 3)`` packet rays; ``a_p``: ``(C, 8)`` live mask.
+    Returns ``(first [C], last [C])`` int32 (empty range ⇔ first > last).
+    Scanned over groups of 64 blocks so peak memory stays bounded for scenes
+    with many blocks (the ``(C, 8, 64, 3)`` intermediate is ~50 MB at C=64k).
+    The |d|<1e-20 reciprocal substitution is CONSERVATIVE: an axis with
+    d ~ 0 yields ±huge slab bounds — inside-origin rays still pass,
+    outside-origin rays still miss, regardless of substituted sign.
+    """
+    cols = o_p.shape[0]
+    inv_p = 1.0 / jnp.where(jnp.abs(d_p) < 1e-20, 1e-20, d_p)
+    n_blocks = accel.aabb_lo.shape[0]
+    group = min(64, n_blocks)
+    bg_padded = _round_up(n_blocks, group)
+    pad_b = bg_padded - n_blocks
+    big = jnp.float32(3.0e38)
+    lo_g = jnp.pad(accel.aabb_lo, ((0, pad_b), (0, 0)), constant_values=big)
+    hi_g = jnp.pad(accel.aabb_hi, ((0, pad_b), (0, 0)), constant_values=-big)
+    lo_g = lo_g.reshape(bg_padded // group, group, 3)
+    hi_g = hi_g.reshape(bg_padded // group, group, 3)
+
+    def block_group(carry, args):
+        first, last, base = carry
+        lo, hi = args
+        t0 = (lo[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
+        t1 = (hi[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (C, 8, group)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & a_p[:, :, None]
+        # Inverted (never-hit) boxes — block padding and empty accel blocks —
+        # must be masked explicitly: the min/max slab formulation silently
+        # normalizes a lo>hi box into a valid interval.
+        valid = jnp.all(lo <= hi, axis=-1)  # (group,)
+        any_hit = jnp.any(hit_box, axis=1) & valid[None, :]  # (C, group)
+        blk = base + jnp.arange(group, dtype=jnp.int32)[None, :]
+        first = jnp.minimum(
+            first, jnp.min(jnp.where(any_hit, blk, jnp.int32(_BIG_I32)), axis=1)
+        )
+        last = jnp.maximum(last, jnp.max(jnp.where(any_hit, blk, -1), axis=1))
+        return (first, last, base + group), None
+
+    init = (
+        jnp.full((cols,), _BIG_I32, jnp.int32),
+        jnp.full((cols,), -1, jnp.int32),
+        jnp.int32(0),
+    )
+    (first, last, _), _ = jax.lax.scan(block_group, init, (lo_g, hi_g))
+    return first, last
+
+
 def search_triangles_pallas(
     o: jax.Array,
     d: jax.Array,
@@ -327,20 +378,7 @@ def search_triangles_pallas(
         jnp.pad(alive_f[:, 0], (0, r_padded - r))
         .reshape(cols_padded, 8) > 0.0
     )
-    inv_p = 1.0 / jnp.where(jnp.abs(d_p) < 1e-20, 1e-20, d_p)
-    lo = accel.aabb_lo  # (B, 3)
-    hi = accel.aabb_hi
-    t0 = (lo[None, None] - o_p[:, :, None]) * inv_p[:, :, None]  # (C, 8, B, 3)
-    t1 = (hi[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
-    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (C, 8, B)
-    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & a_p[:, :, None]
-    any_hit = jnp.any(hit_box, axis=1)  # (C, B)
-    blk_iota = jnp.arange(lo.shape[0], dtype=jnp.int32)[None, :]
-    first = jnp.min(
-        jnp.where(any_hit, blk_iota, jnp.int32(_BIG_I32)), axis=1
-    )  # (C,)
-    last = jnp.max(jnp.where(any_hit, blk_iota, -1), axis=1)  # (C,)
+    first, last = packet_block_ranges(o_p, d_p, a_p, accel)
     tris_packed = pack_triangles(tris)
     orig_idx = accel.orig_idx.reshape(1, t)
 

@@ -87,3 +87,49 @@ def test_build_accel_empty_padding_blocks():
     acc = build_accel(tris, n_live)
     assert acc.aabb_lo.shape == (2, 3)
     assert (np.asarray(acc.aabb_lo[1]) > np.asarray(acc.aabb_hi[1])).all()
+
+
+def test_packet_block_ranges_multi_group():
+    """Range computation must be exact across block-group boundaries (B > 64)
+    and conservative (never exclude a block a live ray can hit)."""
+    import jax
+    from raytracingc_tpu.ops.accel import TriangleAccel
+    from raytracingc_tpu.ops.intersect_pallas import packet_block_ranges
+    from raytracingc_tpu.scene.types import Triangles
+
+    rng = np.random.default_rng(0)
+    B = 130  # 3 groups of 64
+    centers = rng.uniform(-50, 50, (B, 3)).astype(np.float32)
+    lo = centers - 1.0
+    hi = centers + 1.0
+    accel = TriangleAccel(
+        triangles=Triangles.empty(),
+        orig_idx=jnp.zeros((0,), jnp.int32),
+        aabb_lo=jnp.asarray(lo),
+        aabb_hi=jnp.asarray(hi),
+    )
+    C = 16
+    o = rng.uniform(-60, 60, (C, 8, 3)).astype(np.float32)
+    d = rng.standard_normal((C, 8, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    alive = rng.uniform(size=(C, 8)) > 0.3
+
+    first, last = jax.jit(packet_block_ranges)(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(alive), accel
+    )
+    first, last = np.asarray(first), np.asarray(last)
+
+    # Numpy reference slab test.
+    inv = 1.0 / np.where(np.abs(d) < 1e-20, 1e-20, d)
+    t0 = (lo[None, None] - o[:, :, None]) * inv[:, :, None]
+    t1 = (hi[None, None] - o[:, :, None]) * inv[:, :, None]
+    tmin = np.minimum(t0, t1).max(-1)
+    tmax = np.maximum(t0, t1).min(-1)
+    hit = (tmax >= np.maximum(tmin, 0.0)) & alive[:, :, None]
+    any_hit = hit.any(axis=1)  # (C, B)
+    for c in range(C):
+        idxs = np.nonzero(any_hit[c])[0]
+        if len(idxs) == 0:
+            assert first[c] > last[c]
+        else:
+            assert first[c] == idxs.min() and last[c] == idxs.max()
