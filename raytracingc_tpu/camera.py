@@ -68,7 +68,9 @@ def primary_rays(camera: Camera, width: int, height: int):
     (``image[x + y*width]``, ``main.c:100``).
     """
     half_w = width // 2  # C integer division, ``main.c:88``
-    half_h = height // 2
+    # The C code divides by height/2 unguarded (``main.c:88-89``) — a
+    # 1-pixel-high image divides by zero there; we clamp to 1 instead.
+    half_h = max(height // 2, 1)
     xs = (jnp.arange(width, dtype=jnp.float32) - half_w) / half_h
     ys = (jnp.arange(height, dtype=jnp.float32) - half_h) / half_h
     dx = jnp.tile(xs, height)  # [H*W], row-major

@@ -185,6 +185,8 @@ def trace_accumulate(
     per-device means are ``pmean``-combined, identical in expectation (and, for
     equal shards, exactly) to a single device tracing ``n * spp`` samples.
     """
+    if spp < 1:
+        raise ValueError(f"spp must be >= 1, got {spp}")
     r = origins.shape[0]
     seed_arr = jnp.uint32(seed)
     offset = jnp.asarray(sample_offset, jnp.uint32)
