@@ -345,8 +345,28 @@ def search_triangles_pallas(
         interpret = jax.default_backend() != "tpu"
     if accel is None:
         accel = trivial_accel(tris)
-    tris = accel.triangles
     r = o.shape[0]
+    # The per-column range arrays live whole in SMEM (r/8 i32 each); bound
+    # them by splitting very large direct calls into slices. The renderer's
+    # pixel chunking stays well under this.
+    max_rays = 262144
+    if r > max_rays:
+        outs = [
+            search_triangles_pallas(
+                o[i : i + max_rays],
+                d[i : i + max_rays],
+                tris,
+                interpret=interpret,
+                alive=None if alive is None else alive[i : i + max_rays],
+                accel=accel,
+            )
+            for i in range(0, r, max_rays)
+        ]
+        return (
+            jnp.concatenate([x[0] for x in outs]),
+            jnp.concatenate([x[1] for x in outs]),
+        )
+    tris = accel.triangles
     t = tris.a.shape[0]
     assert t % TRI_LANES == 0, "triangle count must be padded to a multiple of 128"
 
