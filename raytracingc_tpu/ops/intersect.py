@@ -214,10 +214,6 @@ def nearest_hit(
 # ----------------------------------------------------------------------------
 
 
-def _gather(x: jax.Array, idx: jax.Array) -> jax.Array:
-    return jnp.take(x, jnp.maximum(idx, 0), axis=0)
-
-
 def resolve_hit(o: jax.Array, d: jax.Array, ref: HitRef, scene: Scene) -> Hit:
     """Recompute (dst, point, normal, material) for the winning primitive.
 
