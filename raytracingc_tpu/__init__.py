@@ -34,3 +34,24 @@ from raytracingc_tpu.scene.types import (  # noqa: F401
 )
 from raytracingc_tpu.camera import Camera, look_at_basis, primary_rays  # noqa: F401
 from raytracingc_tpu.render.renderer import render, render_image  # noqa: F401
+from raytracingc_tpu.render.progressive import render_progressive  # noqa: F401
+from raytracingc_tpu.scene.builder import (  # noqa: F401
+    scene_from_obj,
+    scene_from_triangles_txt,
+)
+
+
+def __getattr__(name):  # lazy: these pull in optax/mesh machinery
+    if name == "fit_scene":
+        from raytracingc_tpu.diff.optimize import fit_scene
+
+        return fit_scene
+    if name == "render_sharded":
+        from raytracingc_tpu.parallel.sharded import render_sharded
+
+        return render_sharded
+    if name == "make_mesh":
+        from raytracingc_tpu.parallel.mesh import make_mesh
+
+        return make_mesh
+    raise AttributeError(name)
