@@ -58,11 +58,11 @@ def render(
     """
     n_pix = width * height
     if pixel_chunk is None:
-        # 16k-ray chunks: measured optimum on the suzannes 1080p bench
-        # (16k: 12.67M rays/s > 32k: 12.54 > 64k: 12.33 > 256k: 10.96) —
-        # smaller chunks let sky-dominated chunks exit the bounce while_loop
-        # earlier, and per-pass overheads stay amortized down to ~16k rays.
-        pixel_chunk = int(min(max(_round_up(n_pix, 1024), 1024), 16384))
+        # 8k-ray chunks: measured optimum on the suzannes 1080p bench
+        # (4k: 12.76M rays/s < 8k: 12.83 > 16k: 12.67 > 64k: 12.33 > 256k:
+        # 10.96) — smaller chunks let sky-dominated chunks exit the bounce
+        # while_loop earlier, until per-chunk launch overhead wins at ~4k.
+        pixel_chunk = int(min(max(_round_up(n_pix, 1024), 1024), 8192))
     origins, dirs = primary_rays(camera, width, height)
     ray_ids = jnp.arange(n_pix, dtype=jnp.uint32)
 
