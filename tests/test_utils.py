@@ -133,3 +133,16 @@ def test_cli_checkpoint_flag(tmp_path):
                "--spp", "4", "-b", "2", "--batch-spp", "2",
                "--checkpoint", ck, "-o", out])
     assert rc == 0 and os.path.exists(ck) and os.path.exists(out)
+
+
+def test_profiler_trace_capture(tmp_path, demo_scene, cam):
+    """jax.profiler trace wrappers produce a trace directory without error."""
+    from raytracingc_tpu.utils.profiling import start_trace, stop_trace
+
+    start_trace(str(tmp_path))
+    img, _ = render(demo_scene, cam, 4, 4, spp=1, max_bounce=1, seed=0)
+    np.asarray(img)
+    stop_trace()
+    import os
+
+    assert any(os.scandir(str(tmp_path))), "no trace output written"
