@@ -32,6 +32,12 @@ BASELINE_RAYS_PER_SEC = 3.1e5
 
 
 def main() -> int:
+    # Persistent compilation cache: repeat bench runs skip the 10-60 s
+    # first-compile (harmless if already set by the environment).
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
     width = int(os.environ.get("BENCH_W", 1920))
     height = int(os.environ.get("BENCH_H", 1080))
     spp = int(os.environ.get("BENCH_SPP", 8))
