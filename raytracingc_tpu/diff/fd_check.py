@@ -115,9 +115,17 @@ def pixel_grad_check(
     ray_ids = jnp.arange(width * height, dtype=jnp.uint32)
     w = jax.random.normal(jax.random.PRNGKey(seed), (width * height, 3))
 
+    # The accel (int indices + geometry copy) is not a parameter — detach it
+    # from the differentiated pytree and reattach inside the loss (same
+    # pattern as diff.optimize).
+    accel = getattr(scene, "accel", None)
+    if accel is not None:
+        scene = scene.replace(accel=None)
+
     def loss_fn(s):
         radiance, _ = trace_accumulate(
-            origins, dirs, s, ray_ids, seed=seed, spp=spp, max_bounce=max_bounce
+            origins, dirs, s.replace(accel=accel) if accel is not None else s,
+            ray_ids, seed=seed, spp=spp, max_bounce=max_bounce,
         )
         return jnp.mean(radiance * w)
 

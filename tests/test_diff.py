@@ -183,3 +183,32 @@ def test_vertex_grads_match_fd(demo_scene, cam):
         fd = float((loss_jit(shift(eps)) - loss_jit(shift(-eps))) / (2 * eps))
         an = float(jnp.sum(g.triangles.a * v))
         assert abs(fd - an) <= 1e-4 + 3e-2 * max(abs(fd), abs(an)), (k, fd, an)
+
+
+def test_fd_pass_rate_on_loaded_scene(models_dir, cam):
+    """Gradient checks hold on a real OBJ scene (not just the procedural
+    fixture): asuzane with untied albedos, material+env leaves."""
+    import os
+
+    import jax as _jax
+
+    from raytracingc_tpu.scene.builder import scene_from_obj
+
+    scene = scene_from_obj(os.path.join(models_dir, "asuzane.obj"))
+    jt = _jax.random.uniform(
+        _jax.random.PRNGKey(9), scene.triangles.albedo.shape,
+        minval=-0.05, maxval=0.05,
+    )
+    scene = scene.replace(
+        triangles=scene.triangles.replace(
+            albedo=jnp.clip(scene.triangles.albedo + jt, 0.05, 0.95)
+        )
+    )
+    res = pixel_grad_check(
+        scene, cam, width=8, height=8, spp=1, max_bounce=2,
+        leaves=["triangles.albedo", "env"],
+        eps=1e-3, rtol=3e-2, atol=5e-6, probes_per_leaf=3,
+    )
+    assert res["pass_rate"] >= 0.85, {
+        k: v for k, v in res.items() if k != "pass_rate"
+    }
