@@ -75,11 +75,13 @@ def _render_sharded_jit(
     backend: str,
     mesh: Mesh,
     early_exit: bool = True,
+    sample_offset: jax.Array | int = 0,
 ):
     px_size = mesh.shape["px"]
     spp_size = mesh.shape["spp"]
     assert spp % spp_size == 0, f"spp={spp} not divisible by mesh spp={spp_size}"
     spp_per = spp // spp_size
+    base_offset = jnp.asarray(sample_offset, jnp.uint32)
 
     origins, dirs = primary_rays(camera, width, height)
     ray_ids = jnp.arange(width * height, dtype=jnp.uint32)
@@ -88,7 +90,9 @@ def _render_sharded_jit(
     )
 
     def shard_fn(scene, o, d, ids, act):
-        offset = jax.lax.axis_index("spp").astype(jnp.uint32) * jnp.uint32(spp_per)
+        offset = base_offset + jax.lax.axis_index("spp").astype(
+            jnp.uint32
+        ) * jnp.uint32(spp_per)
         radiance, count = trace_accumulate(
             o,
             d,
@@ -132,6 +136,7 @@ def render_sharded(
     strategy: str = "pixels",
     mesh: Mesh | None = None,
     early_exit: bool = True,
+    sample_offset: jax.Array | int = 0,
 ):
     """Render across all devices. Returns ``(image [H, W, 3], rays_traced)``.
 
@@ -139,6 +144,9 @@ def render_sharded(
     ``"samples"`` shards the spp axis (best for small images at high spp),
     ``"both"`` splits devices across the two axes. An explicit ``mesh``
     overrides the strategy.
+
+    ``sample_offset`` shifts every device's sample-id range — the hook for
+    progressive/checkpointed accumulation on top of sharded rendering.
     """
     if mesh is None:
         n = len(jax.devices())
@@ -153,7 +161,7 @@ def render_sharded(
             raise ValueError(f"unknown strategy {strategy!r}")
     return _render_sharded_jit(
         scene, camera, width, height, spp, max_bounce, seed, backend, mesh,
-        early_exit,
+        early_exit, sample_offset,
     )
 
 

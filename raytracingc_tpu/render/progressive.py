@@ -38,12 +38,20 @@ def render_progressive(
     checkpoint_path: str | None = None,
     resume: bool = True,
     on_batch: Callable[[int, int, jax.Array], None] | None = None,
+    mesh=None,
+    shard_strategy: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Render ``spp`` samples in batches of ``batch_spp`` with checkpoints.
 
     Returns ``(image [H, W, 3] linear, rays_traced)`` — identical to
     :func:`render` with the same total spp and seed. ``on_batch(done, total,
     partial_image)`` runs after each batch (progress bars, previews).
+
+    Pass ``mesh`` or ``shard_strategy`` to run each batch across all devices
+    via :func:`raytracingc_tpu.parallel.sharded.render_sharded` — the
+    production configuration for long pod-scale renders: multi-chip AND
+    preemption-safe (with ``shard_strategy="samples"``, ``batch_spp`` must be
+    a multiple of the mesh's ``spp`` dimension).
     """
     n_batches = (spp + batch_spp - 1) // batch_spp
     acc = jnp.zeros((height, width, 3), jnp.float32)
@@ -56,17 +64,27 @@ def render_progressive(
 
     while done_spp < spp:
         this = min(batch_spp, spp - done_spp)
-        img, c = render(
-            scene,
-            camera,
-            width,
-            height,
-            spp=this,
-            max_bounce=max_bounce,
-            seed=seed,
-            backend=backend,
-            sample_offset=jnp.uint32(done_spp),
-        )
+        if mesh is not None or shard_strategy is not None:
+            from raytracingc_tpu.parallel.sharded import render_sharded
+
+            img, c = render_sharded(
+                scene, camera, width, height, spp=this,
+                max_bounce=max_bounce, seed=seed, backend=backend,
+                strategy=shard_strategy or "pixels", mesh=mesh,
+                sample_offset=jnp.uint32(done_spp),
+            )
+        else:
+            img, c = render(
+                scene,
+                camera,
+                width,
+                height,
+                spp=this,
+                max_bounce=max_bounce,
+                seed=seed,
+                backend=backend,
+                sample_offset=jnp.uint32(done_spp),
+            )
         acc = acc + img * np.float32(this)  # de-average back to a sum
         count = count + c
         done_spp += this

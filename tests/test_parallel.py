@@ -117,3 +117,22 @@ def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_progressive_sharded_matches_oneshot(demo_scene, cam):
+    """Sharded + checkpoint-batched rendering equals the plain one-shot
+    render exactly (pixel sharding preserves per-lane streams; batching
+    uses disjoint sample-id ranges)."""
+    from raytracingc_tpu.render.progressive import render_progressive
+    from raytracingc_tpu.render.renderer import render as render_plain
+
+    w = h = 16
+    ref, count_ref = render_plain(demo_scene, cam, w, h, spp=4, max_bounce=2,
+                                  seed=9)
+    img, count = render_progressive(
+        demo_scene, cam, w, h, spp=4, max_bounce=2, batch_spp=2, seed=9,
+        shard_strategy="pixels",
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=2e-6, atol=2e-7)
+    assert float(count) == float(count_ref)
