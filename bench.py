@@ -98,6 +98,16 @@ def main() -> int:
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        # Provenance: the knobs behind the number, so it is self-describing.
+        "repeats": repeats,
+        "compile_s": round(compile_s, 2),
+        "backend": backend,
+        "pixel_chunk": pixel_chunk,
+        # "logical" = one intersection charged per sample per live lane, as
+        # the C loop executes them (raytracing.c:270); the primary-hit cache
+        # means bounce-0 searches physically run once per pixel, not per
+        # sample (see BASELINE.md "Ray accounting").
+        "ray_accounting": "logical",
     }
     print(json.dumps(result))
     print(

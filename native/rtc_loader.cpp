@@ -222,8 +222,9 @@ int rtc_load_obj(const char* path, float** out_verts, float** out_normals,
 
   int t = static_cast<int>(out.emission.size());
   *out_count = t;
-  auto dup = [](const std::vector<float>& v) {
+  auto dup = [](const std::vector<float>& v) -> float* {
     float* p = static_cast<float*>(std::malloc(v.size() * sizeof(float) + 1));
+    if (!p) std::abort();  // allocation failure is unrecoverable here
     std::memcpy(p, v.data(), v.size() * sizeof(float));
     return p;
   };
@@ -287,6 +288,15 @@ int rtc_load_triangles_txt(const char* path, float** out_verts,
     return 2;
   }
   int count = static_cast<int>(vals[0]);
+  // Reject nonsense counts outright: a negative (or absurdly large) declared
+  // count would make 14L*count wrap below and the size check pass vacuously,
+  // handing Python a negative *out_count.
+  if (count < 0 || static_cast<size_t>(count) > vals.size()) {
+    set_err(errbuf, errlen,
+            std::string(path) + ": invalid declared triangle count " +
+                std::to_string(count));
+    return 2;
+  }
   if (static_cast<long>(vals.size()) < 1 + 14L * count) {
     set_err(errbuf, errlen,
             std::string(path) + ": declared " + std::to_string(count) +
@@ -315,8 +325,9 @@ int rtc_load_triangles_txt(const char* path, float** out_verts,
   }
   int t = count;
   *out_count = t;
-  auto dup = [](const std::vector<float>& v) {
+  auto dup = [](const std::vector<float>& v) -> float* {
     float* p = static_cast<float*>(std::malloc(v.size() * sizeof(float) + 1));
+    if (!p) std::abort();  // allocation failure is unrecoverable here
     std::memcpy(p, v.data(), v.size() * sizeof(float));
     return p;
   };

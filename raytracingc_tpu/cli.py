@@ -133,10 +133,14 @@ def main(argv: list[str] | None = None) -> int:
     elif args.checkpoint:
         from raytracingc_tpu.render.progressive import render_progressive
 
+        # --shard composes with --checkpoint: each sample batch renders
+        # across all devices, and the accumulated sum checkpoints between
+        # batches — the multi-chip AND preemption-safe production path.
         linear, count = render_progressive(
             scene, cam, width, height, spp=args.spp,
             max_bounce=args.max_bounce, seed=args.seed, backend=args.backend,
             batch_spp=args.batch_spp, checkpoint_path=args.checkpoint,
+            shard_strategy=None if args.shard == "none" else args.shard,
         )
     elif args.shard == "none":
         from raytracingc_tpu.render.renderer import render

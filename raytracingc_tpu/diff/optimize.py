@@ -50,6 +50,7 @@ def fit_scene(
     spp: int = 4,
     max_bounce: int = 3,
     seed: int = 0,
+    backend: str = "auto",
     trainable: Sequence[str] | None = None,
     param_filter: Callable[[Any], Any] | None = None,
     optimizer: optax.GradientTransformation | None = None,
@@ -73,8 +74,19 @@ def fit_scene(
     ray_ids = jnp.arange(width * height, dtype=jnp.uint32)
     optimizer = optimizer or optax.adam(learning_rate)
     # The accel (int indices + a geometry copy) is not a parameter: detach it
-    # from the differentiated pytree and reattach inside the loss.
+    # from the differentiated pytree. When geometry is trainable the accel's
+    # frozen geometry copy goes stale after the first vertex update — the
+    # Pallas search would intersect old geometry while resolve shades the new
+    # one — so the loss must run accel-free (live triangles) in that case;
+    # the reattach-inside-the-loss optimization is only valid for
+    # material/env-only training.
+    geom_keys = ("triangles.a", "triangles.b", "triangles.c",
+                 "triangles.normal")
+    geometry_trained = trainable is None or any(
+        t in g or g in t for t in trainable for g in geom_keys
+    )
     accel = scene.accel
+    loss_accel = None if geometry_trained else accel
     scene = scene.replace(accel=None)
     opt_state = optimizer.init(scene)
     if param_filter is not None:
@@ -87,7 +99,8 @@ def fit_scene(
 
         step_fn = make_train_step(
             mesh, optimizer, spp=spp, max_bounce=max_bounce,
-            seed=seed, param_filter=pfilter,
+            seed=seed, backend=backend, param_filter=pfilter,
+            geometry_trainable=geometry_trained,
         )
     else:
 
@@ -95,8 +108,8 @@ def fit_scene(
         def step_fn(scene, opt_state, origins, dirs, ray_ids, target):
             def loss_fn(s):
                 radiance, _ = trace_accumulate(
-                    origins, dirs, s.replace(accel=accel), ray_ids,
-                    seed=seed, spp=spp, max_bounce=max_bounce,
+                    origins, dirs, s.replace(accel=loss_accel), ray_ids,
+                    seed=seed, spp=spp, max_bounce=max_bounce, backend=backend,
                 )
                 return jnp.mean((radiance - target) ** 2)
 
@@ -131,11 +144,6 @@ def fit_scene(
         save_pytree(checkpoint_path, (scene, opt_state), step=steps - 1)
     if not np.all(np.isfinite(losses)):
         raise FloatingPointError("fit_scene produced non-finite losses")
-    geom_keys = ("triangles.a", "triangles.b", "triangles.c",
-                 "triangles.normal")
-    geometry_trained = trainable is None or any(
-        t in g or g in t for t in trainable for g in geom_keys
-    )
     if accel is not None:
         # Reattach; rebuild if geometry may have moved (the accel holds its
         # own geometry copy, which does not receive updates).

@@ -183,7 +183,10 @@ def nearest_hit(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    if backend == "pallas":
+    if scene_ng.triangles.count == 0:  # sphere-only scene: no triangle pass
+        tri_dst = jnp.full(o.shape[:1], MISS_DST, jnp.float32)
+        tri_idx = jnp.full(o.shape[:1], -1, jnp.int32)
+    elif backend == "pallas":
         from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
 
         tri_dst, tri_idx = search_triangles_pallas(
@@ -237,14 +240,19 @@ def resolve_hit(o: jax.Array, d: jax.Array, ref: HitRef, scene: Scene) -> Hit:
     # ONE packed row-gather per primitive type instead of 12 scattered
     # gathers: TPU gathers are row-oriented, and separate small gathers
     # measured ~4.4 ms per bounce at 64k rays (as slow as the whole search).
-    tri_table = jnp.concatenate(
-        [
-            tris.a, tris.b, tris.c, tris.normal, tris.albedo,
-            tris.emission[:, None], tris.smoothness[:, None],
-        ],
-        axis=1,
-    )  # (T, 17)
-    tri_rows = jnp.take(tri_table, tri_idx, axis=0)  # (R, 17)
+    if tris.count:
+        tri_table = jnp.concatenate(
+            [
+                tris.a, tris.b, tris.c, tris.normal, tris.albedo,
+                tris.emission[:, None], tris.smoothness[:, None],
+            ],
+            axis=1,
+        )  # (T, 17)
+        tri_rows = jnp.take(tri_table, tri_idx, axis=0)  # (R, 17)
+    else:  # sphere-only scene: no lane ever selects a triangle
+        tri_rows = jnp.zeros((o.shape[0], 17), jnp.float32)
+        # Degenerate all-zero rows would divide by det=0 below; the EPSILON
+        # guard already substitutes 1.0, keeping both passes finite.
 
     # Triangle recompute (unconditional MT distance along the gathered tri).
     a = tri_rows[:, 0:3]

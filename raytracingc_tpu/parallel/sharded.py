@@ -178,6 +178,7 @@ def make_train_step(
     backend: str = "auto",
     seed: int = 0,
     param_filter=None,
+    geometry_trainable: bool = True,
 ):
     """Build a jitted SPMD training step for inverse rendering.
 
@@ -195,7 +196,13 @@ def make_train_step(
 
     The scene's ``accel`` (int indices + a geometry copy) is detached from
     differentiation internally; initialize ``opt_state`` with
-    ``optimizer.init(scene.replace(accel=None))``.
+    ``optimizer.init(scene.replace(accel=None))``. With the default
+    ``geometry_trainable=True`` the forward pass inside the loss runs
+    accel-free (live triangles): the accel's frozen geometry copy would go
+    stale after the first vertex update and the Pallas search would intersect
+    old geometry while resolve shades the new. Pass
+    ``geometry_trainable=False`` for material/env-only training to keep the
+    (then-valid) accel inside the loss.
     """
     spp_size = mesh.shape["spp"]
     assert spp % spp_size == 0, f"spp={spp} not divisible by mesh spp={spp_size}"
@@ -204,13 +211,14 @@ def make_train_step(
     def shard_step(scene, opt_state, origins, dirs, ray_ids, target):
         offset = jax.lax.axis_index("spp").astype(jnp.uint32) * jnp.uint32(spp_per)
         accel = scene.accel
+        loss_accel = None if geometry_trainable else accel
         scene = scene.replace(accel=None)
 
         def loss_fn(s):
             radiance, _ = trace_accumulate(
                 origins,
                 dirs,
-                s.replace(accel=accel),
+                s.replace(accel=loss_accel),
                 ray_ids,
                 seed=seed,
                 spp=spp_per,
@@ -228,7 +236,9 @@ def make_train_step(
             grads = param_filter(grads)
         updates, opt_state = optimizer.update(grads, opt_state, scene)
         scene = jax.tree_util.tree_map(lambda p, u: p + u, scene, updates)
-        return scene.replace(accel=accel), opt_state, loss
+        # A stale accel must not ride along with updated geometry; the caller
+        # rebuilds once training ends (``Scene.with_accel``).
+        return scene.replace(accel=loss_accel), opt_state, loss
 
     sharded = shard_map(
         shard_step,

@@ -325,10 +325,13 @@ def trace_debug_bounces(
 ) -> jax.Array:
     """Bounce-count heatmap (reference ``calcDebugColor``, ``raytracing.c:242-260``).
 
-    Walks the same scatter/roulette loop but returns grayscale
+    Walks the same hit/scatter loop but returns grayscale
     ``bounces / max_bounce`` per ray instead of radiance — the reference's
     (manually wired) render-debug integrator, exposed here as a first-class
-    entry point (CLI ``--debug-bounces``). Returns ``[R, 3]`` in [0, 1].
+    entry point (CLI ``--debug-bounces``). Unlike ``calcColor``, the C debug
+    walk has NO Russian roulette (``raytracing.c:242-260`` draws only the
+    scatter direction): a path ends only on miss or at ``max_bounce``.
+    Returns ``[R, 3]`` in [0, 1].
     """
     r = origins.shape[0]
     carry = (
@@ -353,13 +356,9 @@ def trace_debug_bounces(
         live_hit = alive & hit.hit
         n_bounce = n_bounce + live_hit.astype(jnp.float32)
 
-        state, u_rr = rng.next_uniform(state)
-        p = jnp.max(hit.albedo, axis=-1)
-        survive = p >= u_rr
-
         pos = jnp.where(live_hit[:, None], hit.point, pos)
         d = jnp.where(live_hit[:, None], new_dir, d)
-        alive = live_hit & survive
+        alive = live_hit
         return (pos, d, n_bounce, alive, state), None
 
     carry, _ = jax.lax.scan(bounce, carry, None, length=max_bounce)

@@ -5,8 +5,13 @@ The reference accumulates all 4000 samples in one uninterruptible pass
 axis is split into batches with disjoint sample-id ranges (the counter-based
 RNG makes batch k's streams identical whether or not batches 0..k-1 ran in
 the same process), and the running radiance sum is snapshotted atomically
-after each batch — a preempted job resumes at the next batch boundary with
-bit-identical final output.
+after each batch. A preempted job resumes at the next batch boundary with
+output bit-identical to the same progressive run uninterrupted (the resumed
+process replays the exact same sums). Relative to a ONE-SHOT render of the
+same total spp, per-sample radiances are identical but the final average
+re-associates float additions (batch partial means are de-averaged and
+re-summed), so equality is within float re-association tolerance
+(~2e-6 relative; pinned by tests), not bitwise.
 """
 
 from __future__ import annotations
@@ -43,8 +48,9 @@ def render_progressive(
 ) -> tuple[jax.Array, jax.Array]:
     """Render ``spp`` samples in batches of ``batch_spp`` with checkpoints.
 
-    Returns ``(image [H, W, 3] linear, rays_traced)`` — identical to
-    :func:`render` with the same total spp and seed. ``on_batch(done, total,
+    Returns ``(image [H, W, 3] linear, rays_traced)`` — equal to
+    :func:`render` with the same total spp and seed up to float
+    re-association of the sample average (see module docstring). ``on_batch(done, total,
     partial_image)`` runs after each batch (progress bars, previews).
 
     Pass ``mesh`` or ``shard_strategy`` to run each batch across all devices

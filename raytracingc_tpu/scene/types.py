@@ -173,6 +173,22 @@ class Scene(struct.PyTreeNode):
             accel=build_accel(self.triangles, self.n_triangles)
         )
 
+    def with_triangles(
+        self, triangles: Triangles, rebuild_accel: bool = False
+    ) -> "Scene":
+        """Replace triangle geometry, invalidating (or rebuilding) the accel.
+
+        A bare ``scene.replace(triangles=...)`` silently leaves the accel's
+        frozen geometry copy stale, so ``backend='pallas'`` would intersect
+        different geometry than ``backend='xla'`` for the same Scene. Route
+        triangle updates through this helper: the accel is dropped (search
+        falls back to live triangles) or rebuilt on request.
+        """
+        out = self.replace(
+            triangles=triangles, accel=None, n_triangles=triangles.count
+        )
+        return out.with_accel() if rebuild_accel else out
+
 
 def tree_replace(node: Any, **updates: Any) -> Any:
     """Dataclass-style replace that works on any of the pytree nodes above."""

@@ -1,0 +1,201 @@
+"""Round-2 regression tests: C9 debug-walk parity and stale-accel hazards.
+
+Pins the fixes from the round-1 review:
+
+* ``calcDebugColor`` has NO Russian roulette (``raytracing.c:242-260`` draws
+  only the scatter direction) — the heatmap walk must not terminate paths
+  stochastically.
+* The accel carries a frozen geometry copy; training geometry (or replacing
+  triangles) with a stale accel attached makes the Pallas search intersect
+  different geometry than resolve shades.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytracingc_tpu.camera import Camera, primary_rays
+from raytracingc_tpu.render.integrator import render_debug
+from raytracingc_tpu.scene.types import Scene, Spheres, Triangles
+
+
+def _mirror_corridor_scene() -> Scene:
+    """Two huge dark mirrors facing each other: rays ping-pong forever.
+
+    Smoothness 1 makes every scatter a pure specular reflection (the RNG draw
+    is lerped away), so the walk is deterministic: every path alternates
+    between the two planes for as many bounces as allowed.
+    """
+    from raytracingc_tpu.scene.builder import triangles_from_arrays
+
+    s = 1000.0
+    verts = np.array(
+        [
+            # z = +3 plane, normal -z (faces the camera at the origin).
+            [[-s, -s, 3], [0, s, 3], [s, -s, 3]],
+            # z = -3 plane, normal +z.
+            [[-s, -s, -3], [s, -s, -3], [0, s, -3]],
+        ],
+        np.float32,
+    )
+    ab = verts[:, 1] - verts[:, 0]
+    ac = verts[:, 2] - verts[:, 0]
+    normals = np.cross(ab, ac)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    albedo = np.full((2, 3), 0.05, np.float32)  # roulette would kill ~all
+    tris, _ = triangles_from_arrays(verts, normals, albedo,
+                                    np.zeros(2, np.float32),
+                                    np.ones(2, np.float32))
+    return Scene.build(triangles=tris, spheres=Spheres.empty())
+
+
+def test_debug_heatmap_has_no_roulette():
+    """Between two mirrors every path must reach max_bounce.
+
+    The C debug walk (``raytracing.c:242-260``) only ends on miss or at
+    ``maxBounce`` — with albedo 0.05 a roulette (p ≈ 0.05 per bounce) would
+    terminate essentially every path after the first hit, so a pure-white
+    heatmap is a sharp discriminator.
+    """
+    scene = _mirror_corridor_scene()
+    cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
+    img = np.asarray(render_debug(scene, cam, 16, 16, max_bounce=6, seed=0))
+    np.testing.assert_array_equal(img, np.ones_like(img))
+
+
+def test_sphere_only_scene_renders():
+    """Zero-triangle scenes must not break either search backend."""
+    from raytracingc_tpu.ops.intersect import intersect
+
+    spheres = Spheres(
+        center=jnp.array([[0.0, 0.0, 5.0]], jnp.float32),
+        radius=jnp.array([1.0], jnp.float32),
+        albedo=jnp.full((1, 3), 0.5, jnp.float32),
+        emission=jnp.zeros((1,), jnp.float32),
+        smoothness=jnp.zeros((1,), jnp.float32),
+    )
+    scene = Scene.build(triangles=Triangles.empty(), spheres=spheres)
+    o = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (8, 1))
+    hit = intersect(o, d, scene, backend="xla")
+    assert bool(hit.hit[0])
+    np.testing.assert_allclose(float(hit.dst[0]), 4.0, rtol=1e-5)
+
+
+def _two_tri_scene() -> Scene:
+    from raytracingc_tpu.scene.builder import triangles_from_arrays
+
+    # CCW winding so the camera at the origin looking +z sees front faces
+    # (normal = cross(B-A, C-A) must point towards -z).
+    verts = np.array(
+        [
+            [[-1, -1, 3], [0, 1, 3], [1, -1, 3]],
+            [[-1, -1, 6], [0, 1, 6], [1, -1, 6]],
+        ],
+        np.float32,
+    )
+    ab = verts[:, 1] - verts[:, 0]
+    ac = verts[:, 2] - verts[:, 0]
+    normals = np.cross(ab, ac)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    albedo = np.array([[0.8, 0.2, 0.2], [0.2, 0.8, 0.2]], np.float32)
+    tris, _ = triangles_from_arrays(verts, normals, albedo,
+                                    np.zeros(2, np.float32),
+                                    np.zeros(2, np.float32))
+    return Scene.build(triangles=tris, spheres=Spheres.empty()).with_accel()
+
+
+def test_with_triangles_invalidates_accel():
+    """``with_triangles`` must not leave the Pallas search on stale geometry."""
+    from raytracingc_tpu.ops.intersect import _search_triangles_xla
+    from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
+
+    scene = _two_tri_scene()
+    # Move every vertex 2 units along +z (away from the camera).
+    moved_tris = scene.triangles.replace(
+        a=scene.triangles.a + jnp.array([0.0, 0.0, 2.0]),
+        b=scene.triangles.b + jnp.array([0.0, 0.0, 2.0]),
+        c=scene.triangles.c + jnp.array([0.0, 0.0, 2.0]),
+    )
+    moved = scene.with_triangles(moved_tris)
+    assert moved.accel is None  # stale accel dropped
+
+    o = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (8, 1))
+    d_pal, _ = search_triangles_pallas(
+        o, d, moved.triangles, interpret=True, accel=moved.accel
+    )
+    d_xla, _ = _search_triangles_xla(o, d, moved.triangles, chunk=moved.triangles.count)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_xla), rtol=1e-6)
+    # And the hit is at the moved depth (5), not the stale one (3).
+    assert abs(float(d_pal[0]) - 5.0) < 1e-4
+
+    rebuilt = scene.with_triangles(moved_tris, rebuild_accel=True)
+    d_reb, _ = search_triangles_pallas(
+        o, d, rebuilt.triangles, interpret=True, accel=rebuilt.accel
+    )
+    np.testing.assert_allclose(np.asarray(d_reb), np.asarray(d_xla), rtol=1e-6)
+
+
+def test_fit_scene_geometry_training_runs_accel_free(monkeypatch):
+    """With geometry trainable, the loss must see ``accel=None``; with
+    material-only training the (still-valid) accel may stay attached."""
+    import raytracingc_tpu.diff.optimize as optimize_mod
+    from raytracingc_tpu.render.integrator import trace_accumulate
+
+    seen_accels = []
+
+    def recording_trace_accumulate(o, d, s, ids, **kw):
+        seen_accels.append(s.accel is not None)
+        return trace_accumulate(o, d, s, ids, **kw)
+
+    monkeypatch.setattr(optimize_mod, "trace_accumulate",
+                        recording_trace_accumulate)
+
+    scene = _two_tri_scene()
+    assert scene.accel is not None
+    cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
+    target = jnp.zeros((4, 4, 3), jnp.float32)
+
+    # Geometry trainable (default trainable=None): accel-free loss.
+    fitted, losses = optimize_mod.fit_scene(
+        scene, target, cam, steps=1, spp=1, max_bounce=1, learning_rate=0.0
+    )
+    assert seen_accels == [False]
+    assert fitted.accel is not None  # rebuilt on return
+
+    # Material-only: the reattach optimization is allowed.
+    seen_accels.clear()
+    fitted2, _ = optimize_mod.fit_scene(
+        scene, target, cam, steps=1, spp=1, max_bounce=1,
+        learning_rate=0.0, trainable=["albedo"],
+    )
+    assert seen_accels == [True]
+    assert fitted2.accel is not None
+
+
+def test_cli_shard_plus_checkpoint(models_dir, tmp_path):
+    """``--shard`` composes with ``--checkpoint`` (the production config)."""
+    from raytracingc_tpu.cli import main
+    from raytracingc_tpu.render.image import read_bmp
+
+    out = str(tmp_path / "both.bmp")
+    ckpt = str(tmp_path / "both.npz")
+    args = ["-i", os.path.join(models_dir, "simplest.obj"),
+            "-s", "8", "8", "--spp", "4", "-b", "2", "--batch-spp", "2",
+            "--shard", "pixels", "--checkpoint", ckpt, "-o", out]
+    assert main(args) == 0
+    img = read_bmp(out)
+    assert img.shape == (8, 8, 3)
+    assert os.path.exists(ckpt)
+
+    # Plain sharded render of the same config agrees (same per-sample
+    # radiances; averaging re-association only).
+    out2 = str(tmp_path / "plain.bmp")
+    assert main(["-i", os.path.join(models_dir, "simplest.obj"),
+                 "-s", "8", "8", "--spp", "4", "-b", "2",
+                 "--shard", "pixels", "-o", out2]) == 0
+    np.testing.assert_allclose(
+        read_bmp(out2).astype(np.int32), img.astype(np.int32), atol=1
+    )
