@@ -47,6 +47,7 @@ def main() -> int:
     scene_path = os.environ.get("BENCH_SCENE", REFERENCE_SCENE)
     pixel_chunk = os.environ.get("BENCH_CHUNK")
     pixel_chunk = int(pixel_chunk) if pixel_chunk else None
+    compact = os.environ.get("BENCH_COMPACT", "0") == "1"
 
     import jax
 
@@ -76,7 +77,7 @@ def main() -> int:
     def run():
         img, count = render(
             scene, cam, width, height, spp=spp, max_bounce=max_bounce,
-            seed=0, backend=backend, pixel_chunk=pixel_chunk,
+            seed=0, backend=backend, pixel_chunk=pixel_chunk, compact=compact,
         )
         jax.block_until_ready(img)
         return float(count)
@@ -103,6 +104,7 @@ def main() -> int:
         "compile_s": round(compile_s, 2),
         "backend": backend,
         "pixel_chunk": pixel_chunk,
+        "compact": compact,
         # "logical" = one intersection charged per sample per live lane, as
         # the C loop executes them (raytracing.c:270); the primary-hit cache
         # means bounce-0 searches physically run once per pixel, not per

@@ -176,7 +176,8 @@ def trace_paths(
         # full-size ops per bounce. Off by default; useful only for very
         # large single-chunk batches where per-lane work dominates.
         tiers = (
-            [k for k in (r // 4, r // 16) if k >= 1024 and r % k == 0]
+            [k for k in (r // 4, r // 16, r // 64)
+             if k >= 1024 and r % k == 0]
             if compact
             else []
         )
@@ -215,7 +216,9 @@ def trace_paths(
 
 @partial(
     jax.jit,
-    static_argnames=("max_bounce", "spp", "backend", "early_exit", "sample_batch"),
+    static_argnames=(
+        "max_bounce", "spp", "backend", "early_exit", "sample_batch", "compact"
+    ),
 )
 def trace_accumulate(
     origins: jax.Array,
@@ -230,6 +233,7 @@ def trace_accumulate(
     active: jax.Array | None = None,
     early_exit: bool = False,
     sample_batch: int | str = 1,
+    compact: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Average ``spp`` samples per ray (``main.c:98-99``'s 1/N accumulation).
 
@@ -289,6 +293,7 @@ def trace_accumulate(
             radiance, count = trace_paths(
                 origins_w, dirs_w, state, scene, max_bounce, backend=backend,
                 active=active_w, early_exit=early_exit, first_hit=hit0_w,
+                compact=compact,
             )
             acc = acc + jnp.sum(radiance.reshape(sample_batch, r, 3), axis=0)
             return (acc, total + count), None
@@ -305,6 +310,7 @@ def trace_accumulate(
         radiance, count = trace_paths(
             origins, dirs, state, scene, max_bounce, backend=backend,
             active=active, early_exit=early_exit, first_hit=hit0,
+            compact=compact,
         )
         return (acc + radiance, total + count), None
 

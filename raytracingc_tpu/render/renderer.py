@@ -30,7 +30,8 @@ def _round_up(n: int, m: int) -> int:
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp", "max_bounce", "backend", "pixel_chunk", "early_exit"
+        "width", "height", "spp", "max_bounce", "backend", "pixel_chunk",
+        "early_exit", "compact",
     ),
 )
 def render(
@@ -45,6 +46,7 @@ def render(
     pixel_chunk: int | None = None,
     early_exit: bool = True,
     sample_offset: jax.Array | int = 0,
+    compact: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Render linear radiance. Returns ``(image [H, W, 3] f32, rays_traced)``.
 
@@ -83,7 +85,7 @@ def render(
         return trace_accumulate(
             o, d, scene, ids, seed=seed, spp=spp, max_bounce=max_bounce,
             backend=backend, active=act, early_exit=early_exit,
-            sample_offset=sample_offset,
+            sample_offset=sample_offset, compact=compact,
         )
 
     if n_chunks == 1:

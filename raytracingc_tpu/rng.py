@@ -20,17 +20,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# Lague LCG/mix constants (``moremath.c:91-93``).
-_LCG_MUL = jnp.uint32(747796405)
-_LCG_INC = jnp.uint32(2891336453)
-_MIX_MUL = jnp.uint32(277803737)
-_INV_U32_MAX = jnp.float32(1.0 / 4294967295.0)
+# Lague LCG/mix constants (``moremath.c:91-93``). NumPy (not jnp) scalars:
+# module-level jnp constants would initialize the XLA backend at import time,
+# which breaks ``jax.distributed.initialize`` for multi-host users (it must
+# run before any backend creation). Dtype semantics are identical.
+_LCG_MUL = np.uint32(747796405)
+_LCG_INC = np.uint32(2891336453)
+_MIX_MUL = np.uint32(277803737)
+_INV_U32_MAX = np.float32(1.0 / 4294967295.0)
 
 # splitmix32 constants for stream derivation (public-domain construction).
-_SM_GAMMA = jnp.uint32(0x9E3779B9)
-_SM_M1 = jnp.uint32(0x85EBCA6B)
-_SM_M2 = jnp.uint32(0xC2B2AE35)
+_SM_GAMMA = np.uint32(0x9E3779B9)
+_SM_M1 = np.uint32(0x85EBCA6B)
+_SM_M2 = np.uint32(0xC2B2AE35)
 
 TWO_PI = 6.2831853071795864769
 

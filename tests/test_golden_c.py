@@ -66,7 +66,7 @@ def test_simplest_obj_matches_c(c_renderer, models_dir):
     c_img = _c_render(c_renderer, ["-i", "3Dmodels/simplest.obj",
                                    "-s", str(w), str(h), "-b", "3"])
     scene = scene_from_obj(os.path.join(models_dir, "simplest.obj"))
-    ours = _our_render(scene, w, h, spp=196, bounces=3)
+    ours = _our_render(scene, w, h, spp=1024, bounces=3)
 
     diff = np.abs(ours - c_img)
     # Image means converge to the same integral.
@@ -74,7 +74,9 @@ def test_simplest_obj_matches_c(c_renderer, models_dir):
     # Deterministic (miss) pixels: the median pixel is pure environment.
     assert np.median(diff) < 0.01
     # Every pixel within Monte-Carlo noise at these sample counts.
-    assert diff.max() < 0.12, diff.max()
+    # At 1024 spp (ours) vs the C side's fixed 4000, the residual band is
+    # dominated by the C render's own Monte-Carlo noise.
+    assert diff.max() < 0.05, diff.max()
 
 
 def test_default_mode_matches_c(c_renderer, reference_dir):
@@ -109,3 +111,94 @@ def test_camera_flags_match_c(c_renderer, models_dir):
     assert abs(ours.mean() - c_img.mean()) < 0.02
     c = np.corrcoef(ours.reshape(-1), c_img.reshape(-1))[0, 1]
     assert c > 0.95, c
+
+
+def test_emissive_materials_match_c(c_renderer, models_dir):
+    """rsuzanne.obj: the SuzanneEyes material is emissive (Ke 10 0 0 → red
+    emission 10, ``rsuzanne.mtl:19``) — exercises the MTL Ke mapping and the
+    emission-before-albedo ordering against the C integrator.
+
+    The eye triangles are tiny (area ≈ 0.03) and invisible from the default
+    camera, so the view is zoomed onto the right eye: camera 1.5 units along
+    the eye's face normal (renderer-world/post-rotZ(180°) coordinates — the
+    same frame the C CLI's ``-p``/``-t`` use)."""
+    w = h = 24
+    pos = ["2.1778", "-1.2497", "-0.6064"]
+    tgt = ["0.8176", "-1.6983", "-0.1608"]
+    c_img = _c_render(c_renderer, ["-i", "3Dmodels/rsuzanne.obj",
+                                   "-s", str(w), str(h), "-b", "4",
+                                   "-p", *pos, "-t", *tgt])
+    scene = scene_from_obj(os.path.join(models_dir, "rsuzanne.obj"))
+    cam = Camera.look_at(origin=[float(x) for x in pos],
+                         target=[float(x) for x in tgt])
+    img, _ = render(scene, cam, w, h, spp=768, max_bounce=4, seed=0)
+    ours = np.clip(np.asarray(img), 0.0, 1.0)
+
+    assert abs(ours.mean() - c_img.mean()) < 0.03, (ours.mean(), c_img.mean())
+    c = np.corrcoef(ours.reshape(-1), c_img.reshape(-1))[0, 1]
+    assert c > 0.9, c
+    # The emissive eye must register as saturated-red pixels in BOTH renders
+    # (emission 10 clips the red channel wherever the eye is seen).
+    red_excess_ours = (ours[..., 0] - ours[..., 1:].max(axis=-1)).max()
+    red_excess_c = (c_img[..., 0] - c_img[..., 1:].max(axis=-1)).max()
+    assert red_excess_ours > 0.2, red_excess_ours
+    assert red_excess_c > 0.2, red_excess_c
+    # And in the SAME place: the red-dominant pixel masks overlap.
+    m_ours = (ours[..., 0] - ours[..., 1:].max(axis=-1)) > 0.1
+    m_c = (c_img[..., 0] - c_img[..., 1:].max(axis=-1)) > 0.1
+    assert (m_ours & m_c).sum() > 0
+
+
+def test_mirror_materials_match_c(c_renderer, models_dir):
+    """ultracomplex.obj: 120 triangles, 3 materials incl. an Ns=1000 mirror
+    (smoothness √(0.001·1000)=1.0, ``objloader.c:272``) — pure specular
+    scattering paths against the C integrator."""
+    w = h = 16
+    c_img = _c_render(c_renderer, ["-i", "3Dmodels/ultracomplex.obj",
+                                   "-s", str(w), str(h), "-b", "4"])
+    scene = scene_from_obj(os.path.join(models_dir, "ultracomplex.obj"))
+    ours = _our_render(scene, w, h, spp=1024, bounces=4)
+
+    assert abs(ours.mean() - c_img.mean()) < 0.02, (ours.mean(), c_img.mean())
+    assert np.median(np.abs(ours - c_img)) < 0.01
+    c = np.corrcoef(ours.reshape(-1), c_img.reshape(-1))[0, 1]
+    assert c > 0.95, c
+
+
+def test_sky_sun_flags_match_c(c_renderer, models_dir):
+    """Non-default -gc/-sch/-scz/--sun overrides (``main.c:119-231``): the
+    sky is deterministic (miss pixels carry pure environment light), so a
+    recolored sky + hot sun must match the C render near-exactly there."""
+    from raytracingc_tpu.scene.types import EnvParams
+    import jax.numpy as jnp
+
+    w = h = 16
+    gc = ["0.2", "0.1", "0.1"]
+    sch = ["0.9", "0.5", "0.2"]
+    scz = ["0.1", "0.2", "0.8"]
+    sun = ["1.0", "-1.0", "0.5", "50.0", "3.0"]
+    c_img = _c_render(
+        c_renderer,
+        ["-i", "3Dmodels/simplest.obj", "-s", str(w), str(h), "-b", "3",
+         "-gc", *gc, "-sch", *sch, "-scz", *scz, "--sun", *sun],
+    )
+    sun_dir = np.array([float(x) for x in sun[:3]], np.float32)
+    sun_dir /= np.linalg.norm(sun_dir)
+    env = EnvParams(
+        sun_direction=jnp.asarray(sun_dir),
+        sky_horizon=jnp.asarray(np.array([float(x) for x in sch], np.float32)),
+        sky_zenith=jnp.asarray(np.array([float(x) for x in scz], np.float32)),
+        ground=jnp.asarray(np.array([float(x) for x in gc], np.float32)),
+        sun_focus=jnp.float32(float(sun[3])),
+        sun_intensity=jnp.float32(float(sun[4])),
+    )
+    scene = scene_from_obj(os.path.join(models_dir, "simplest.obj"), env=env)
+    ours = _our_render(scene, w, h, spp=512, bounces=3)
+
+    diff = np.abs(ours - c_img)
+    # Deterministic sky pixels: the median pixel must match near-exactly
+    # (quantization + float noise only).
+    assert np.median(diff) < 0.01, np.median(diff)
+    assert abs(ours.mean() - c_img.mean()) < 0.02
+    c = np.corrcoef(ours.reshape(-1), c_img.reshape(-1))[0, 1]
+    assert c > 0.97, c
