@@ -48,6 +48,7 @@ def main() -> int:
     pixel_chunk = os.environ.get("BENCH_CHUNK")
     pixel_chunk = int(pixel_chunk) if pixel_chunk else None
     compact = os.environ.get("BENCH_COMPACT", "0") == "1"
+    sample_batch = int(os.environ.get("BENCH_SAMPLE_BATCH", 1))
 
     import jax
 
@@ -78,6 +79,7 @@ def main() -> int:
         img, count = render(
             scene, cam, width, height, spp=spp, max_bounce=max_bounce,
             seed=0, backend=backend, pixel_chunk=pixel_chunk, compact=compact,
+            sample_batch=sample_batch,
         )
         jax.block_until_ready(img)
         return float(count)
@@ -105,6 +107,7 @@ def main() -> int:
         "backend": backend,
         "pixel_chunk": pixel_chunk,
         "compact": compact,
+        "sample_batch": sample_batch,
         # "logical" = one intersection charged per sample per live lane, as
         # the C loop executes them (raytracing.c:270); the primary-hit cache
         # means bounce-0 searches physically run once per pixel, not per

@@ -267,6 +267,244 @@ def _search_padded(alive_flags, first, last, rays_planes, tris_packed,
     return dst, idx
 
 
+# ----------------------------------------------------------------------------
+# Bitmask culling variant: iterate EXACTLY the hitting blocks per packet.
+#
+# Morton order makes a diagonal packet's contiguous [first, last] range span
+# many non-hitting interior blocks — measured on the suzannes 1080p primary
+# rays: mean range length 14.3 blocks vs 5.2 actually hitting (63.6% of
+# scanned blocks dead). Here XLA packs per-column hit BITS (31 blocks per
+# int32 word, bit 31 unused to dodge sign traps) into SMEM, and the kernel
+# walks set bits with a scalar-only while loop:
+#     lsb = m & -m;  j = popcount(lsb - 1);  m &= m - 1
+# — no vector<->scalar sync, no per-block branch, identical scan order
+# (ascending block index) so results stay bit-identical to the range scan.
+# ----------------------------------------------------------------------------
+
+BITS_PER_WORD = 31
+
+
+def _search_kernel_bitmask(
+    alive_ref,  # (G,) i32 SMEM — per-program any-work flags
+    mask_ref,  # (C * n_words,) i32 SMEM — per-column hit-bit words
+    rays_ref,  # (7, 8, COLS) f32 VMEM
+    tris_ref,  # (12, T) f32 VMEM
+    oidx_ref,  # (1, T) i32 VMEM
+    dst_ref,  # (8, COLS) f32 out
+    idx_ref,  # (8, COLS) i32 out
+    *,
+    n_words: int,
+):
+    cols = dst_ref.shape[1]
+    dst_ref[:, :] = jnp.full((RAY_SUBLANES, cols), MISS_DST, jnp.float32)
+    idx_ref[:, :] = jnp.full((RAY_SUBLANES, cols), -1, jnp.int32)
+
+    pid = pl.program_id(0)
+    col_base = pid * cols
+
+    @pl.when(alive_ref[pid] != 0)
+    def _run():
+        _search_tile_bitmask(mask_ref, rays_ref, tris_ref, oidx_ref,
+                             dst_ref, idx_ref, n_words, col_base=col_base)
+
+
+def _search_tile_bitmask(mask_ref, rays_ref, tris_ref, oidx_ref, dst_ref,
+                         idx_ref, n_words: int, col_base):  # noqa: D103
+    cols = dst_ref.shape[1]
+    shape = (RAY_SUBLANES, cols)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+    ox_t, oy_t, oz_t = rays_ref[0], rays_ref[1], rays_ref[2]
+    dx_t, dy_t, dz_t = rays_ref[3], rays_ref[4], rays_ref[5]
+
+    def tri_row(r: int, j) -> jax.Array:
+        off = pl.multiple_of(j * TRI_LANES, TRI_LANES)
+        return tris_ref[r : r + 1, pl.ds(off, TRI_LANES)]  # (1, 128)
+
+    def per_column(i, acc):
+        acc_d, acc_i = acc
+        col_mask = col_iota == i
+
+        def extract(tile):  # (8, COLS) → (8, 1): masked cross-lane reduce
+            return jnp.sum(jnp.where(col_mask, tile, 0.0), axis=1, keepdims=True)
+
+        ox, oy, oz = extract(ox_t), extract(oy_t), extract(oz_t)
+        dx, dy, dz = extract(dx_t), extract(dy_t), extract(dz_t)
+
+        def mt_chunk(j, best_d, best_i):
+            ax, ay, az = tri_row(0, j), tri_row(1, j), tri_row(2, j)
+            abx, aby, abz = tri_row(3, j), tri_row(4, j), tri_row(5, j)
+            acx, acy, acz = tri_row(6, j), tri_row(7, j), tri_row(8, j)
+            nx, ny, nz = tri_row(9, j), tri_row(10, j), tri_row(11, j)
+            off = pl.multiple_of(j * TRI_LANES, TRI_LANES)
+            oidx = oidx_ref[0:1, pl.ds(off, TRI_LANES)]  # (1, 128) i32
+
+            dn = dx * nx + dy * ny + dz * nz
+            hx = dy * acz - dz * acy
+            hy = dz * acx - dx * acz
+            hz = dx * acy - dy * acx
+            det = abx * hx + aby * hy + abz * hz
+            degenerate = jnp.abs(det) < EPSILON
+            inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
+            sx = ox - ax
+            sy = oy - ay
+            sz = oz - az
+            u = (sx * hx + sy * hy + sz * hz) * inv_det
+            qx = sy * abz - sz * aby
+            qy = sz * abx - sx * abz
+            qz = sx * aby - sy * abx
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            dst = (acx * qx + acy * qy + acz * qz) * inv_det
+            valid = (
+                (dn < 0.0)
+                & ~degenerate
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (dst >= EPSILON)
+            )
+            dst = jnp.where(valid, dst, MISS_DST)
+            oidx_b = jnp.broadcast_to(oidx, (RAY_SUBLANES, TRI_LANES))
+            take = (dst < best_d) | ((dst == best_d) & (oidx_b < best_i))
+            best_d = jnp.where(take, dst, best_d)
+            best_i = jnp.where(take, oidx_b, best_i)
+            return best_d, best_i
+
+        best = (
+            jnp.full((RAY_SUBLANES, TRI_LANES), MISS_DST, jnp.float32),
+            jnp.full((RAY_SUBLANES, TRI_LANES), _BIG_I32, jnp.int32),
+        )
+        for w in range(n_words):  # n_words is static → unrolled
+            m0 = mask_ref[(col_base + i) * n_words + w]
+            base = w * BITS_PER_WORD
+
+            def bit_body(carry, base=base):
+                m, bd, bi = carry
+                lsb = m & (-m)
+                # Index of the lowest set bit via the float32 exponent field:
+                # lsb is an exact power of two <= 2^30, so float(lsb) has
+                # exponent j + 127 (Mosaic has no scalar popcount/ctz).
+                j = (
+                    jax.lax.bitcast_convert_type(
+                        lsb.astype(jnp.float32), jnp.int32
+                    )
+                    >> 23
+                ) - 127
+                bd, bi = mt_chunk(base + j, bd, bi)
+                return (m & (m - 1), bd, bi)
+
+            m, bd, bi = jax.lax.while_loop(
+                lambda c: c[0] != 0, bit_body, (m0, *best)
+            )
+            best = (bd, bi)
+        best_d, best_i = best
+
+        dmin = jnp.min(best_d, axis=1, keepdims=True)  # (8, 1)
+        imin = jnp.min(
+            jnp.where(best_d <= dmin, best_i, _BIG_I32), axis=1, keepdims=True
+        )
+        imin = jnp.where(dmin < MISS_DST, imin, -1)
+
+        acc_d = jnp.where(col_mask, dmin, acc_d)
+        acc_i = jnp.where(col_mask, imin, acc_i)
+        return acc_d, acc_i
+
+    init = (
+        jnp.full(shape, MISS_DST, jnp.float32),
+        jnp.full(shape, -1, jnp.int32),
+    )
+    acc_d, acc_i = jax.lax.fori_loop(0, cols, per_column, init)
+    dst_ref[:, :] = acc_d
+    idx_ref[:, :] = acc_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "n_words"))
+def _search_padded_bitmask(alive_flags, masks, rays_planes, tris_packed,
+                           orig_idx, n_words, interpret=False):
+    n_cols = rays_planes.shape[2]
+    t = tris_packed.shape[1]
+    grid = (n_cols // COLS_PER_PROGRAM,)
+
+    kernel = functools.partial(_search_kernel_bitmask, n_words=n_words)
+    dst, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) alive flags
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (C * n_words,) masks
+            pl.BlockSpec(
+                (7, RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g: (0, 0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((12, t), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((RAY_SUBLANES, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((RAY_SUBLANES, n_cols), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * RAY_SUBLANES * n_cols * t,
+            bytes_accessed=(6 * RAY_SUBLANES + 2 * RAY_SUBLANES) * n_cols * 4
+            + 13 * t * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(alive_flags, masks, rays_planes, tris_packed, orig_idx)
+    return dst, idx
+
+
+def packet_block_masks(o_p, d_p, a_p, accel: TriangleAccel):
+    """Per-packet hit bitmask words via AABB slab tests.
+
+    ``o_p/d_p``: ``(C, 8, 3)`` packet rays; ``a_p``: ``(C, 8)`` live mask.
+    Returns ``(C, n_words)`` int32 — bit ``j`` of word ``w`` set iff block
+    ``w * 31 + j`` passes the slab test for any live lane of the packet.
+    Scanned one 31-block word per step so peak memory stays bounded (same
+    strategy as :func:`packet_block_ranges`).
+    """
+    cols = o_p.shape[0]
+    inv_p = 1.0 / jnp.where(jnp.abs(d_p) < 1e-20, 1e-20, d_p)
+    n_blocks = accel.aabb_lo.shape[0]
+    n_words = -(-n_blocks // BITS_PER_WORD)
+    pad_b = n_words * BITS_PER_WORD - n_blocks
+    big = jnp.float32(3.0e38)
+    lo_g = jnp.pad(accel.aabb_lo, ((0, pad_b), (0, 0)), constant_values=big)
+    hi_g = jnp.pad(accel.aabb_hi, ((0, pad_b), (0, 0)), constant_values=-big)
+    lo_g = lo_g.reshape(n_words, BITS_PER_WORD, 3)
+    hi_g = hi_g.reshape(n_words, BITS_PER_WORD, 3)
+    bits = (jnp.int32(1) << jnp.arange(BITS_PER_WORD, dtype=jnp.int32))
+
+    def word(args):
+        lo, hi = args
+        t0 = (lo[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
+        t1 = (hi[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (C, 8, 31)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & a_p[:, :, None]
+        valid = jnp.all(lo <= hi, axis=-1)  # inverted padding boxes never hit
+        any_hit = jnp.any(hit_box, axis=1) & valid[None, :]  # (C, 31)
+        return jnp.sum(jnp.where(any_hit, bits[None, :], 0), axis=1,
+                       dtype=jnp.int32)  # (C,)
+
+    words = jax.lax.map(word, (lo_g, hi_g))  # (n_words, C)
+    return words.T  # (C, n_words)
+
+
 def packet_block_ranges(o_p, d_p, a_p, accel: TriangleAccel):
     """Per-packet [first, last] hitting-block range via AABB slab tests.
 
@@ -326,6 +564,7 @@ def search_triangles_pallas(
     interpret: bool | None = None,
     alive: jax.Array | None = None,
     accel: TriangleAccel | None = None,
+    cull: str | None = None,
 ):
     """Closest-hit triangle search. Returns ``(best_dst [R], best_idx [R])``.
 
@@ -340,7 +579,17 @@ def search_triangles_pallas(
 
     ``accel``: Morton/AABB structure from ``ops.accel.build_accel``; when
     absent, a trivial always-hit accel reproduces the brute-force scan.
+
+    ``cull``: ``"range"`` scans the contiguous [first, last] hitting-block
+    range per packet; ``"bitmask"`` walks EXACTLY the hitting blocks via
+    per-packet bit words (see the bitmask section above). Bit-identical
+    results either way; ``None`` reads ``RTC_CULL`` (default ``"range"``).
     """
+    if cull is None:
+        import os
+
+        cull = os.environ.get("RTC_CULL", "range")
+    assert cull in ("range", "bitmask"), cull
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if accel is None:
@@ -359,6 +608,7 @@ def search_triangles_pallas(
                 interpret=interpret,
                 alive=None if alive is None else alive[i : i + max_rays],
                 accel=accel,
+                cull=cull,
             )
             for i in range(0, r, max_rays)
         ]
@@ -398,19 +648,33 @@ def search_triangles_pallas(
         jnp.pad(alive_f[:, 0], (0, r_padded - r))
         .reshape(cols_padded, 8) > 0.0
     )
-    first, last = packet_block_ranges(o_p, d_p, a_p, accel)
     tris_packed = pack_triangles(tris)
     orig_idx = accel.orig_idx.reshape(1, t)
 
-    # A program can be skipped when EVERY column's range is empty (covers
-    # both dead lanes and packets that miss the whole scene).
-    nonempty = (first <= last).reshape(n_programs, COLS_PER_PROGRAM)
-    alive_flags = jnp.max(nonempty.astype(jnp.int32), axis=1)
+    if cull == "bitmask":
+        masks = packet_block_masks(o_p, d_p, a_p, accel)  # (C, n_words)
+        n_words = masks.shape[1]
+        nonempty = jnp.any(masks != 0, axis=1)
+        alive_flags = jnp.max(
+            nonempty.reshape(n_programs, COLS_PER_PROGRAM).astype(jnp.int32),
+            axis=1,
+        )
+        dst, idx = _search_padded_bitmask(
+            alive_flags, masks.reshape(-1), rays_planes, tris_packed,
+            orig_idx, n_words=n_words, interpret=interpret,
+        )
+    else:
+        first, last = packet_block_ranges(o_p, d_p, a_p, accel)
 
-    dst, idx = _search_padded(
-        alive_flags, first, last, rays_planes, tris_packed, orig_idx,
-        interpret=interpret,
-    )
+        # A program can be skipped when EVERY column's range is empty (covers
+        # both dead lanes and packets that miss the whole scene).
+        nonempty = (first <= last).reshape(n_programs, COLS_PER_PROGRAM)
+        alive_flags = jnp.max(nonempty.astype(jnp.int32), axis=1)
+
+        dst, idx = _search_padded(
+            alive_flags, first, last, rays_planes, tris_packed, orig_idx,
+            interpret=interpret,
+        )
     # (8, C) → ray-major [r_padded] → slice original count.
     dst = dst.T.reshape(r_padded)[:r]
     idx = idx.T.reshape(r_padded)[:r]

@@ -31,7 +31,7 @@ def _round_up(n: int, m: int) -> int:
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounce", "backend", "pixel_chunk",
-        "early_exit", "compact",
+        "early_exit", "compact", "sample_batch",
     ),
 )
 def render(
@@ -47,6 +47,7 @@ def render(
     early_exit: bool = True,
     sample_offset: jax.Array | int = 0,
     compact: bool = False,
+    sample_batch: int | str = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Render linear radiance. Returns ``(image [H, W, 3] f32, rays_traced)``.
 
@@ -86,6 +87,7 @@ def render(
             o, d, scene, ids, seed=seed, spp=spp, max_bounce=max_bounce,
             backend=backend, active=act, early_exit=early_exit,
             sample_offset=sample_offset, compact=compact,
+            sample_batch=sample_batch,
         )
 
     if n_chunks == 1:

@@ -199,3 +199,27 @@ def test_cli_shard_plus_checkpoint(models_dir, tmp_path):
     np.testing.assert_allclose(
         read_bmp(out2).astype(np.int32), img.astype(np.int32), atol=1
     )
+
+
+def test_early_exit_grad_raises_actionable_error():
+    """Differentiating the while_loop variant must fail with guidance, not a
+    cryptic lax.while_loop transpose error."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from raytracingc_tpu.camera import Camera, primary_rays
+    from raytracingc_tpu.render.integrator import trace_accumulate
+
+    scene = _two_tri_scene()
+    cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
+    o, d = primary_rays(cam, 4, 4)
+    ids = jnp.arange(16, dtype=jnp.uint32)
+
+    def loss(s):
+        r, _ = trace_accumulate(o, d, s, ids, seed=0, spp=1, max_bounce=2,
+                                early_exit=True)
+        return jnp.sum(r)
+
+    with pytest.raises(NotImplementedError, match="early_exit=False"):
+        jax.grad(loss)(scene.replace(accel=None))
