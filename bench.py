@@ -47,7 +47,7 @@ def main() -> int:
     scene_path = os.environ.get("BENCH_SCENE", REFERENCE_SCENE)
     pixel_chunk = os.environ.get("BENCH_CHUNK")
     pixel_chunk = int(pixel_chunk) if pixel_chunk else None
-    compact = os.environ.get("BENCH_COMPACT", "0") == "1"
+    compact = os.environ.get("BENCH_COMPACT", "1") == "1"
     sample_batch = int(os.environ.get("BENCH_SAMPLE_BATCH", 1))
 
     import jax

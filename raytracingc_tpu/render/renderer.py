@@ -46,7 +46,7 @@ def render(
     pixel_chunk: int | None = None,
     early_exit: bool = True,
     sample_offset: jax.Array | int = 0,
-    compact: bool = False,
+    compact: bool = True,
     sample_batch: int | str = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Render linear radiance. Returns ``(image [H, W, 3] f32, rays_traced)``.
@@ -61,11 +61,12 @@ def render(
     """
     n_pix = width * height
     if pixel_chunk is None:
-        # 8k-ray chunks: measured optimum on the suzannes 1080p bench
-        # (4k: 12.76M rays/s < 8k: 12.83 > 16k: 12.67 > 64k: 12.33 > 256k:
-        # 10.96) — smaller chunks let sky-dominated chunks exit the bounce
-        # while_loop earlier, until per-chunk launch overhead wins at ~4k.
-        pixel_chunk = int(min(max(_round_up(n_pix, 1024), 1024), 8192))
+        # 64k-ray chunks + live-lane compaction: measured round-2 optimum on
+        # the suzannes 1080p bench (64k+compact 15.7M rays/s > 8k 12.8M >
+        # 256k+compact 12.9M). Compaction makes secondary-bounce cost track
+        # the live-lane count, which moves the chunk sweet spot up from the
+        # round-1 launch-overhead-bound 8k.
+        pixel_chunk = int(min(max(_round_up(n_pix, 1024), 1024), 65536))
     origins, dirs = primary_rays(camera, width, height)
     ray_ids = jnp.arange(n_pix, dtype=jnp.uint32)
 
