@@ -151,95 +151,89 @@ def trace_paths(
         hit = resolve_hit(pos, d, ref, scene)
         return bounce_with_hit(carry, hit)
 
-    def bounce_compacted(carry, k: int):
-        """One bounce on the first ``k`` lanes of an alive-front permutation.
-
-        Secondary bounces usually have few live lanes; gathering them to the
-        front and bouncing a k-sized buffer makes the per-bounce search AND
-        dense shading cost proportional to the live count instead of the
-        full batch. Lanes are independent and keep their own RNG streams, so
-        results are bit-identical to the uncompacted bounce.
-        """
-        pos, d, throughput, light, alive, state, count = carry
-        # Stable alive-front permutation via prefix sums (argsort-free).
-        n_alive = jnp.sum(alive.astype(jnp.int32))
-        pos_idx = jnp.cumsum(alive.astype(jnp.int32)) - 1
-        neg_idx = jnp.cumsum((~alive).astype(jnp.int32)) - 1 + n_alive
-        dest = jnp.where(alive, pos_idx, neg_idx)  # lane i -> packed slot
-        perm = jnp.zeros((r,), jnp.int32).at[dest].set(
-            jnp.arange(r, dtype=jnp.int32)
-        )
-        sel = perm[:k]
-
-        take = lambda x: jnp.take(x, sel, axis=0)
-        small = (
-            take(pos), take(d), take(throughput), take(light), take(alive),
-            take(state), count,
-        )
-        small, _ = bounce(small, None)
-        sp, sd, st, sl, sa, ss, count = small
-
-        put = lambda x, v: x.at[sel].set(v)
-        return (
-            put(pos, sp), put(d, sd), put(throughput, st), put(light, sl),
-            put(alive, sa), put(state, ss), count,
-        ), None
-
     remaining = max_bounce
     if first_hit is not None and max_bounce >= 1:
         carry, _ = bounce_with_hit(carry, first_hit)
         remaining = max_bounce - 1
 
     if early_exit:
-        # Compaction tiers: pick the smallest buffer the live lanes fit in.
-        # Bit-identical (lanes are independent). Measured NEGATIVE at 64k-ray
-        # chunks (9.9M vs 12.3M rays/s): per-bounce pass cost there is
-        # launch-overhead-bound, and the gather/scatter adds ~20 extra
-        # full-size ops per bounce. Off by default; useful only for very
-        # large single-chunk batches where per-lane work dominates.
-        # Tier ladder /4 /16 /64: adding a /2 tier measured slightly NEGATIVE
-        # (14.34M vs 14.52M rays/s on the suzannes bench) — the extra switch
-        # branch costs more than the rare 25-50%-live case saves.
-        tiers = (
-            [k for k in (r // 4, r // 16, r // 64)
-             if k >= 1024 and r % k == 0]
-            if compact
-            else []
-        )
+        # Tier CASCADE: run the bounce while_loop at full width until the
+        # live count fits the next (4x smaller) buffer, then gather the live
+        # lanes forward ONCE and continue at that width; repeat down the
+        # ladder. Each lane's accumulated radiance is scattered back to its
+        # original slot once per tier exit (deeper tiers overwrite — the
+        # deepest value is the lane's final one).
+        #
+        # This replaced the round-2 interim design (a lax.switch choosing a
+        # gather→bounce→scatter-back branch PER BOUNCE): profiling showed the
+        # per-bounce scatter-backs of 7 state arrays were ~50% of the whole
+        # suzannes bench (569 scatters × 636 µs for the /64 tier alone),
+        # dwarfing the 50 µs tier search they wrapped. In the cascade, state
+        # moves only at tier transitions (≤3 per chunk per sample) and dead
+        # lanes' state is simply abandoned. Bit-identical results (lanes are
+        # independent, counter-based RNG rides along).
+        #
+        # A tier exit can also happen because the bounce budget or all lanes
+        # died — then the deeper tiers' loops run zero iterations and the
+        # final scatters are no-ops on already-final radiance.
+        sizes = [r]
+        if compact:
+            sizes += [k for k in (r // 4, r // 16, r // 64)
+                      if k >= 1024 and r % k == 0]
 
-        def tiered_bounce(c):
-            n_alive = jnp.sum(c[4].astype(jnp.int32))
-            branches = [lambda cc: bounce(cc, None)[0]]
-            conds = []
-            for k in tiers:
-                branches.append(
-                    lambda cc, kk=k: bounce_compacted(cc, kk)[0]
+        light_full = jnp.zeros((r, 3), jnp.float32)
+        orig = jnp.arange(r, dtype=jnp.int32)  # buffer slot -> original lane
+        i = jnp.int32(0)
+        buf = carry
+
+        for t, size in enumerate(sizes):
+            next_size = sizes[t + 1] if t + 1 < len(sizes) else 0
+
+            def cond(s, next_size=next_size):
+                i, c = s
+                n_alive = jnp.sum(c[4].astype(jnp.int32))
+                return (i < remaining) & (n_alive > next_size)
+
+            def body(s):
+                i, c = s
+                return i + 1, bounce(c, None)[0]
+
+            i, buf = jax.lax.while_loop(cond, body, (i, buf))
+            light_t = buf[3]
+            if t == 0:
+                light_full = light_t  # identity mapping at full width
+            else:
+                light_full = light_full.at[orig].set(light_t)
+
+            if t + 1 < len(sizes):
+                k = sizes[t + 1]
+                pos_b, d_b, thr_b, light_b, alive_b, state_b, count_b = buf
+                # Stable alive-front permutation via prefix sums.
+                n_alive = jnp.sum(alive_b.astype(jnp.int32))
+                pos_idx = jnp.cumsum(alive_b.astype(jnp.int32)) - 1
+                neg_idx = (
+                    jnp.cumsum((~alive_b).astype(jnp.int32)) - 1 + n_alive
                 )
-                conds.append(n_alive <= k)
-            if not tiers:
-                return branches[0](c)
-            # index 0 = full; 1.. = tiers (prefer the smallest fitting tier).
-            idx = jnp.int32(0)
-            for t, cnd in enumerate(conds):
-                idx = jnp.where(cnd, jnp.int32(t + 1), idx)
-            return jax.lax.switch(idx, branches, c)
+                dest = jnp.where(alive_b, pos_idx, neg_idx)
+                perm = jnp.zeros((size,), jnp.int32).at[dest].set(
+                    jnp.arange(size, dtype=jnp.int32)
+                )
+                sel = perm[:k]
+                take = lambda x: jnp.take(x, sel, axis=0)
+                buf = (
+                    take(pos_b), take(d_b), take(thr_b), take(light_b),
+                    take(alive_b), take(state_b), count_b,
+                )
+                orig = jnp.take(orig, sel)
 
-        def cond(state):
-            i, c = state
-            return (i < remaining) & jnp.any(c[4])
-
-        def body(state):
-            i, c = state
-            return i + 1, tiered_bounce(c)
-
-        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
-    else:
-        carry, _ = jax.lax.scan(bounce, carry, None, length=remaining)
-    _, _, _, light, _, _, count = carry
-    if early_exit:
+        light, count = light_full, buf[6]
         # The while_loop would fail reverse-mode anyway, but with a cryptic
         # error; this substitutes an actionable one at grad-trace time.
         light = _no_reverse(light)
+        return light, count
+
+    carry, _ = jax.lax.scan(bounce, carry, None, length=remaining)
+    _, _, _, light, _, _, count = carry
     return light, count
 
 
