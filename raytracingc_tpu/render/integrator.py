@@ -73,6 +73,7 @@ def trace_paths(
     early_exit: bool = False,
     first_hit=None,  # optional precomputed Hit for bounce 0 (primary cache)
     compact: bool = False,  # tiered live-lane compaction (see docstring)
+    throughput0: jax.Array | None = None,  # [R, 3] initial path throughput
 ) -> tuple[jax.Array, jax.Array]:
     """Trace one sample per ray. Returns ``(radiance [R, 3], rays_traced [])``.
 
@@ -95,10 +96,13 @@ def trace_paths(
     """
     r = origins.shape[0]
     alive0 = jnp.ones((r,), bool) if active is None else active
+    thr0 = (
+        jnp.ones((r, 3), jnp.float32) if throughput0 is None else throughput0
+    )
     carry = (
         origins,
         dirs,
-        jnp.ones((r, 3), jnp.float32),  # throughput ("rayColor")
+        thr0,  # throughput ("rayColor")
         jnp.zeros((r, 3), jnp.float32),  # accumulated radiance
         alive0,  # alive mask
         rng_state,
@@ -327,6 +331,16 @@ def trace_accumulate(
         )
         return acc / jnp.float32(spp), total
 
+    k0 = r // 4
+    if (
+        early_exit and compact and max_bounce >= 1
+        and k0 >= 1024 and r % 4 == 0
+    ):
+        return _hit_front_accumulate(
+            origins, dirs, scene, ray_ids, seed_arr, offset, spp,
+            max_bounce, backend, active, hit0, k0,
+        )
+
     def sample(carry, sample_id):
         acc, total = carry
         state = rng.stream_init(seed_arr, ray_ids, sample_id)
@@ -340,6 +354,123 @@ def trace_accumulate(
     init = (jnp.zeros_like(origins), jnp.zeros((), jnp.float32))
     (acc, total), _ = jax.lax.scan(
         init=init, f=sample, xs=jnp.arange(spp, dtype=jnp.uint32) + offset
+    )
+    return acc / jnp.float32(spp), total
+
+
+def _hit_front_accumulate(
+    origins, dirs, scene, ray_ids, seed_arr, offset, spp,
+    max_bounce, backend, active, hit0, k0,
+):
+    """Sample accumulation with per-CHUNK hit-front compaction.
+
+    Profiling exposed that the per-SAMPLE tier transition (a full-width
+    permutation scatter + 7 gathers) dominated the bench even in the
+    cascade design. But bounce 0 is special: the primary hit mask and hit
+    geometry are DETERMINISTIC per pixel, so
+
+    * the bounce-0 radiance (emission for hit lanes, environment light for
+      miss lanes, throughput = 1) is identical for every sample — compute it
+      once, weight by ``spp``;
+    * the compaction selection (pack hit lanes to the front) depends only on
+      ``hit0.hit`` — build it once per chunk and hoist ALL full-width
+      gathers out of the sample loop;
+    * each sample's stochastic continuation (scatter direction, roulette,
+      bounces 1..N-1) runs natively in the k0-wide compact domain via
+      :func:`trace_paths` (which cascades further down /4 /16 /64), and the
+      per-sample radiance accumulates compact; ONE scatter-add per chunk
+      maps it back.
+
+    Falls back to the monolithic per-sample path (a ``lax.cond`` branch)
+    when more than ``k0 = R/4`` lanes hit (e.g. fully geometry-covered
+    chunks), where compaction cannot help anyway.
+
+    Per-lane radiance is bit-identical to the monolithic path (same RNG
+    draw order per lane); only the ORDER of float additions into the
+    accumulator differs (bounce-0 light is ``light0 * spp`` instead of
+    ``spp`` sequential adds), so totals agree to float re-association.
+    """
+    r = origins.shape[0]
+    act = jnp.ones((r,), bool) if active is None else active
+    hitm = hit0.hit & act
+    n_hit = jnp.sum(hitm.astype(jnp.int32))
+
+    # Deterministic bounce-0 radiance (same for every sample): emission
+    # weighted by the initial throughput 1 on hit lanes; environment light
+    # on miss lanes (``raytracing.c:279-281,289-292``).
+    emitted = hit0.albedo * hit0.emission[:, None]
+    env = environment_light(dirs, scene.env)
+    light0 = (
+        jnp.where(hitm[:, None], emitted, 0.0)
+        + jnp.where((act & ~hit0.hit)[:, None], env, 0.0)
+    )
+    count0 = jnp.sum(act.astype(jnp.float32)) * jnp.float32(spp)
+
+    sample_ids = jnp.arange(spp, dtype=jnp.uint32) + offset
+
+    def compact_branch(_):
+        # Hit-front permutation, built ONCE per chunk (prefix sums).
+        posi = jnp.cumsum(hitm.astype(jnp.int32)) - 1
+        negi = jnp.cumsum((~hitm).astype(jnp.int32)) - 1 + n_hit
+        dest = jnp.where(hitm, posi, negi)
+        perm = jnp.zeros((r,), jnp.int32).at[dest].set(
+            jnp.arange(r, dtype=jnp.int32)
+        )
+        sel0 = perm[:k0]
+        lanes = jnp.arange(k0, dtype=jnp.int32) < n_hit  # valid slots
+
+        g = lambda x: jnp.take(x, sel0, axis=0)
+        point_c = g(hit0.point)
+        normal_c = g(hit0.normal)
+        albedo_c = g(hit0.albedo)
+        smooth_c = g(hit0.smoothness)[:, None]
+        d0_c = g(dirs)
+        ids_c = g(ray_ids)
+        # Post-bounce-0 throughput is deterministic: albedo / p with
+        # p = max(albedo) (the roulette renorm); only SURVIVAL is random.
+        p_c = jnp.max(albedo_c, axis=-1)
+        thr_c = albedo_c / jnp.where(p_c > 0.0, p_c, 1.0)[:, None]
+        spec_c = _reflect(d0_c, normal_c)
+
+        def sample(carry, sid):
+            acc_c, total = carry
+            state = rng.stream_init(seed_arr, ids_c, sid)
+            # Same draw order as ``bounce_with_hit``: 6 for the unit vector,
+            # 1 for roulette — per-lane streams match the monolithic path.
+            state, unit = rng.next_unit_vector(state)
+            diffuse = _normalize(normal_c + unit)
+            new_dir = (1.0 - smooth_c) * diffuse + smooth_c * spec_c
+            state, u_rr = rng.next_uniform(state)
+            alive1 = lanes & (p_c >= u_rr)
+            light_c, cnt = trace_paths(
+                point_c, new_dir, state, scene, max_bounce - 1,
+                backend=backend, active=alive1, early_exit=True,
+                compact=True, throughput0=thr_c,
+            )
+            return (acc_c + light_c, total + cnt), None
+
+        init = (jnp.zeros((k0, 3), jnp.float32), jnp.zeros((), jnp.float32))
+        (acc_c, total), _ = jax.lax.scan(sample, init, sample_ids)
+        acc = light0 * jnp.float32(spp)
+        acc = acc.at[sel0].add(jnp.where(lanes[:, None], acc_c, 0.0))
+        return acc, total + count0
+
+    def full_branch(_):
+        def sample(carry, sid):
+            acc, total = carry
+            state = rng.stream_init(seed_arr, ray_ids, sid)
+            radiance, count = trace_paths(
+                origins, dirs, state, scene, max_bounce, backend=backend,
+                active=act, early_exit=True, first_hit=hit0, compact=True,
+            )
+            return (acc + radiance, total + count), None
+
+        init = (jnp.zeros((r, 3), jnp.float32), jnp.zeros((), jnp.float32))
+        (acc, total), _ = jax.lax.scan(sample, init, sample_ids)
+        return acc, total
+
+    acc, total = jax.lax.cond(
+        n_hit <= k0, compact_branch, full_branch, operand=None
     )
     return acc / jnp.float32(spp), total
 

@@ -223,3 +223,28 @@ def test_early_exit_grad_raises_actionable_error():
 
     with pytest.raises(NotImplementedError, match="early_exit=False"):
         jax.grad(loss)(scene.replace(accel=None))
+
+
+def test_hit_front_accumulator_matches_scan():
+    """The per-chunk hit-front compaction path (active at chunk >= 4096)
+    agrees with the fixed-length scan: identical ray counts, radiance equal
+    to float re-association."""
+    from __graft_entry__ import _demo_scene
+    from raytracingc_tpu.render.renderer import render
+
+    scene = _demo_scene()
+    cam = Camera.look_at()
+    a, ca = render(scene, cam, 80, 80, spp=3, max_bounce=6, early_exit=False)
+    b, cb = render(scene, cam, 80, 80, spp=3, max_bounce=6, compact=True)
+    assert float(ca) == float(cb)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=3e-6, atol=3e-7)
+
+    # Camera inside the box: full geometry coverage -> n_hit > R/4 -> the
+    # cond falls back to the monolithic branch, which is bit-identical.
+    cam2 = Camera.look_at(origin=[0.0, -1.0, 0.0], target=[1.0, -1.0, 0.0])
+    a2, c2 = render(scene, cam2, 80, 80, spp=2, max_bounce=4,
+                    early_exit=False)
+    b2, c3 = render(scene, cam2, 80, 80, spp=2, max_bounce=4, compact=True)
+    assert float(c2) == float(c3)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
