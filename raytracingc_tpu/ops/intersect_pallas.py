@@ -295,7 +295,8 @@ for _j in range(32):
 
 
 def _search_kernel_bitmask(
-    alive_ref,  # (G,) i32 SMEM — per-program any-work flags
+    alive_ref,  # (G,) i32 SMEM — per-program non-empty column counts
+    colidx_ref,  # (C,) i32 SMEM — per-program packed non-empty column list
     mask_ref,  # (C * n_words,) i32 SMEM — per-column hit-bit words
     deb_ref,  # (32,) i32 SMEM — De Bruijn bit-index table
     rays_ref,  # (7, 8, COLS) f32 VMEM
@@ -313,14 +314,19 @@ def _search_kernel_bitmask(
     pid = pl.program_id(0)
     col_base = pid * cols
 
-    @pl.when(alive_ref[pid] != 0)
+    n_active = alive_ref[pid]  # hoisted: program_id reads inside pl.when
+    # bodies fail interpret-mode lowering
+
+    @pl.when(n_active != 0)
     def _run():
-        _search_tile_bitmask(mask_ref, deb_ref, rays_ref, tris_ref, oidx_ref,
+        _search_tile_bitmask(n_active, colidx_ref, mask_ref, deb_ref,
+                             rays_ref, tris_ref, oidx_ref,
                              dst_ref, idx_ref, n_words, col_base=col_base)
 
 
-def _search_tile_bitmask(mask_ref, deb_ref, rays_ref, tris_ref, oidx_ref,
-                         dst_ref, idx_ref, n_words: int, col_base):  # noqa: D103
+def _search_tile_bitmask(n_active, colidx_ref, mask_ref, deb_ref, rays_ref,
+                         tris_ref, oidx_ref, dst_ref, idx_ref,
+                         n_words: int, col_base):  # noqa: D103
     cols = dst_ref.shape[1]
     shape = (RAY_SUBLANES, cols)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -332,8 +338,13 @@ def _search_tile_bitmask(mask_ref, deb_ref, rays_ref, tris_ref, oidx_ref,
         off = pl.multiple_of(j * TRI_LANES, TRI_LANES)
         return tris_ref[r : r + 1, pl.ds(off, TRI_LANES)]  # (1, 128)
 
-    def per_column(i, acc):
+    def per_column(jj, acc):
         acc_d, acc_i = acc
+        # Packed non-empty iteration: the jj-th ACTIVE column's local index
+        # comes from SMEM — empty columns (no hitting blocks / dead packets)
+        # cost nothing at all, instead of paying the 6 masked extracts.
+        # Occupancy on compacted secondary bounces is often ~10-40%.
+        i = colidx_ref[col_base + jj]
         col_mask = col_iota == i
 
         def extract(tile):  # (8, COLS) → (8, 1): masked cross-lane reduce
@@ -420,14 +431,14 @@ def _search_tile_bitmask(mask_ref, deb_ref, rays_ref, tris_ref, oidx_ref,
         jnp.full(shape, MISS_DST, jnp.float32),
         jnp.full(shape, -1, jnp.int32),
     )
-    acc_d, acc_i = jax.lax.fori_loop(0, cols, per_column, init)
+    acc_d, acc_i = jax.lax.fori_loop(0, n_active, per_column, init)
     dst_ref[:, :] = acc_d
     idx_ref[:, :] = acc_i
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "n_words"))
-def _search_padded_bitmask(alive_flags, masks, rays_planes, tris_packed,
-                           orig_idx, n_words, interpret=False):
+def _search_padded_bitmask(col_counts, col_index, masks, rays_planes,
+                           tris_packed, orig_idx, n_words, interpret=False):
     n_cols = rays_planes.shape[2]
     t = tris_packed.shape[1]
     grid = (n_cols // COLS_PER_PROGRAM,)
@@ -437,7 +448,8 @@ def _search_padded_bitmask(alive_flags, masks, rays_planes, tris_packed,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) alive flags
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) active col counts
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (C,) packed col list
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (C * n_words,) masks
             pl.BlockSpec(memory_space=pltpu.SMEM),  # (32,) De Bruijn table
             pl.BlockSpec(
@@ -471,7 +483,7 @@ def _search_padded_bitmask(alive_flags, masks, rays_planes, tris_packed,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(alive_flags, masks, jnp.asarray(_DEBRUIJN_TABLE, jnp.int32),
+    )(col_counts, col_index, masks, jnp.asarray(_DEBRUIJN_TABLE, jnp.int32),
       rays_planes, tris_packed, orig_idx)
     return dst, idx
 
@@ -663,14 +675,18 @@ def search_triangles_pallas(
     if cull == "bitmask":
         masks = packet_block_masks(o_p, d_p, a_p, accel)  # (C, n_words)
         n_words = masks.shape[1]
-        nonempty = jnp.any(masks != 0, axis=1)
-        alive_flags = jnp.max(
-            nonempty.reshape(n_programs, COLS_PER_PROGRAM).astype(jnp.int32),
-            axis=1,
-        )
+        nonempty = jnp.any(masks != 0, axis=1)  # (C,)
+        # Pack non-empty column indices to the front of each program's
+        # 128-entry SMEM segment (stable argsort on the empty flag): the
+        # kernel then iterates exactly its active columns — empty ones cost
+        # zero work instead of six masked extracts each.
+        ne = nonempty.reshape(n_programs, COLS_PER_PROGRAM)
+        col_counts = jnp.sum(ne.astype(jnp.int32), axis=1)  # (G,)
+        col_index = jnp.argsort(~ne, axis=1, stable=True).astype(jnp.int32)
         dst, idx = _search_padded_bitmask(
-            alive_flags, masks.reshape(-1), rays_planes, tris_packed,
-            orig_idx, n_words=n_words, interpret=interpret,
+            col_counts, col_index.reshape(-1), masks.reshape(-1),
+            rays_planes, tris_packed, orig_idx,
+            n_words=n_words, interpret=interpret,
         )
     else:
         first, last = packet_block_ranges(o_p, d_p, a_p, accel)
