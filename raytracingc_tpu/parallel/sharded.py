@@ -61,7 +61,8 @@ def _pad_rays(origins, dirs, ray_ids, multiple: int):
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp", "max_bounce", "backend", "mesh", "seed", "early_exit"
+        "width", "height", "spp", "max_bounce", "backend", "mesh", "seed",
+        "early_exit", "compact"
     ),
 )
 def _render_sharded_jit(
@@ -76,6 +77,7 @@ def _render_sharded_jit(
     mesh: Mesh,
     early_exit: bool = True,
     sample_offset: jax.Array | int = 0,
+    compact: bool = True,
 ):
     px_size = mesh.shape["px"]
     spp_size = mesh.shape["spp"]
@@ -105,6 +107,7 @@ def _render_sharded_jit(
             sample_offset=offset,
             active=act,
             early_exit=early_exit,
+            compact=compact,
         )
         # Combine the sample-axis partial means; total traced-ray count over
         # the whole mesh (for honest rays/s accounting).
@@ -137,6 +140,7 @@ def render_sharded(
     mesh: Mesh | None = None,
     early_exit: bool = True,
     sample_offset: jax.Array | int = 0,
+    compact: bool = True,
 ):
     """Render across all devices. Returns ``(image [H, W, 3], rays_traced)``.
 
@@ -161,7 +165,7 @@ def render_sharded(
             raise ValueError(f"unknown strategy {strategy!r}")
     return _render_sharded_jit(
         scene, camera, width, height, spp, max_bounce, seed, backend, mesh,
-        early_exit, sample_offset,
+        early_exit, sample_offset, compact,
     )
 
 
