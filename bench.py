@@ -12,7 +12,9 @@ core: ≈1.0e6 traced rays/s). The reference publishes no numbers of its own
 (``/root/reference/README.md:1-15``), so the anchor is our own measurement.
 
 Env overrides: BENCH_W, BENCH_H, BENCH_SPP, BENCH_BOUNCE, BENCH_SCENE,
-BENCH_BACKEND, BENCH_REPEATS.
+BENCH_BACKEND, BENCH_REPEATS, BENCH_CHUNK (pixel chunk), BENCH_COMPACT
+(0/1, default 1), BENCH_SAMPLE_BATCH (int or "auto"), RTC_CULL
+(bitmask|range).
 """
 
 from __future__ import annotations
@@ -48,7 +50,10 @@ def main() -> int:
     pixel_chunk = os.environ.get("BENCH_CHUNK")
     pixel_chunk = int(pixel_chunk) if pixel_chunk else None
     compact = os.environ.get("BENCH_COMPACT", "1") == "1"
-    sample_batch = int(os.environ.get("BENCH_SAMPLE_BATCH", 1))
+    sample_batch_env = os.environ.get("BENCH_SAMPLE_BATCH", "1")
+    sample_batch = (
+        "auto" if sample_batch_env == "auto" else int(sample_batch_env)
+    )
 
     import jax
 

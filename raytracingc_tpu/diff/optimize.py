@@ -102,6 +102,10 @@ def fit_scene(
             seed=seed, backend=backend, param_filter=pfilter,
             geometry_trainable=geometry_trained,
         )
+        # The sharded step manages the accel itself (detach inside, reattach
+        # for the loss when geometry is frozen) — hand it the accel-carrying
+        # scene or its material-only reuse optimization can never engage.
+        scene = scene.replace(accel=loss_accel)
     else:
 
         @jax.jit

@@ -60,6 +60,91 @@ COLS_PER_PROGRAM = 128
 _BIG_I32 = 2**30  # plain int: jnp constants would be captured by the kernel
 
 
+def _extract_column(tiles, col_mask):
+    """Masked cross-lane reduce: (8, COLS) tiles → (8, 1) column scalars.
+
+    Mosaic cannot address single dynamic lanes (dynamic lane offsets must be
+    128-aligned), so per-column extraction is a select + reduction.
+    """
+    return tuple(
+        jnp.sum(jnp.where(col_mask, t, 0.0), axis=1, keepdims=True)
+        for t in tiles
+    )
+
+
+def _mt_block_test(ray, tris_ref, oidx_ref, j, best_d, best_i):
+    """Möller–Trumbore over one 128-triangle block for one 8-ray packet.
+
+    ``ray`` = (ox, oy, oz, dx, dy, dz) as (8, 1) tiles; ``j`` is the block
+    index (scalar). The SINGLE implementation shared by the range and
+    bitmask kernels — their bit-identical contract rests on this: backface
+    cull against the stored normal (``raytracing.c:189``), EPSILON
+    degenerate/positive-distance tests (``raytracing.c:186-214``), and the
+    lexicographic (dst, original index) running argmin that reproduces the
+    sequential C scan order under any block permutation.
+    """
+    ox, oy, oz, dx, dy, dz = ray
+
+    def tri_row(r: int) -> jax.Array:
+        off = pl.multiple_of(j * TRI_LANES, TRI_LANES)
+        return tris_ref[r : r + 1, pl.ds(off, TRI_LANES)]  # (1, 128)
+
+    ax, ay, az = tri_row(0), tri_row(1), tri_row(2)
+    abx, aby, abz = tri_row(3), tri_row(4), tri_row(5)
+    acx, acy, acz = tri_row(6), tri_row(7), tri_row(8)
+    nx, ny, nz = tri_row(9), tri_row(10), tri_row(11)
+    off = pl.multiple_of(j * TRI_LANES, TRI_LANES)
+    oidx = oidx_ref[0:1, pl.ds(off, TRI_LANES)]  # (1, 128) i32
+
+    dn = dx * nx + dy * ny + dz * nz  # backface cull term
+
+    # h = dir × AC
+    hx = dy * acz - dz * acy
+    hy = dz * acx - dx * acz
+    hz = dx * acy - dy * acx
+    det = abx * hx + aby * hy + abz * hz
+    degenerate = jnp.abs(det) < EPSILON
+    inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
+
+    # s = origin − A
+    sx = ox - ax
+    sy = oy - ay
+    sz = oz - az
+    u = (sx * hx + sy * hy + sz * hz) * inv_det
+
+    # q = s × AB
+    qx = sy * abz - sz * aby
+    qy = sz * abx - sx * abz
+    qz = sx * aby - sy * abx
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    dst = (acx * qx + acy * qy + acz * qz) * inv_det
+
+    valid = (
+        (dn < 0.0)
+        & ~degenerate
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (dst >= EPSILON)
+    )
+    dst = jnp.where(valid, dst, MISS_DST)
+    oidx_b = jnp.broadcast_to(oidx, (RAY_SUBLANES, TRI_LANES))
+    take = (dst < best_d) | ((dst == best_d) & (oidx_b < best_i))
+    best_d = jnp.where(take, dst, best_d)
+    best_i = jnp.where(take, oidx_b, best_i)
+    return best_d, best_i
+
+
+def _column_argmin(best_d, best_i):
+    """(8, 128) running argmin → (8, 1) min distance + lowest original id."""
+    dmin = jnp.min(best_d, axis=1, keepdims=True)
+    imin = jnp.min(
+        jnp.where(best_d <= dmin, best_i, _BIG_I32), axis=1, keepdims=True
+    )
+    return dmin, jnp.where(dmin < MISS_DST, imin, -1)
+
+
 def _search_kernel(
     alive_ref,  # (G,) i32 SMEM — whole array, indexed by program id
     first_ref,  # (C,) i32 SMEM — whole array: per-column first hitting block
@@ -90,26 +175,14 @@ def _search_tile(first_ref, last_ref, rays_ref, tris_ref, oidx_ref, dst_ref,
     cols = dst_ref.shape[1]
     shape = (RAY_SUBLANES, cols)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (RAY_SUBLANES, TRI_LANES), 1)
 
     # Full ray component tiles, read once.
-    ox_t, oy_t, oz_t = rays_ref[0], rays_ref[1], rays_ref[2]
-    dx_t, dy_t, dz_t = rays_ref[3], rays_ref[4], rays_ref[5]
-    alive_t = rays_ref[6]  # 1.0 = live lane, 0.0 = dead/padding
-
-    def tri_row(r: int, j) -> jax.Array:
-        off = pl.multiple_of(j * TRI_LANES, TRI_LANES)
-        return tris_ref[r : r + 1, pl.ds(off, TRI_LANES)]  # (1, 128)
+    ray_tiles = tuple(rays_ref[k] for k in range(6))
 
     def per_column(i, acc):
         acc_d, acc_i = acc
         col_mask = col_iota == i
-
-        def extract(tile):  # (8, COLS) → (8, 1): masked cross-lane reduce
-            return jnp.sum(jnp.where(col_mask, tile, 0.0), axis=1, keepdims=True)
-
-        ox, oy, oz = extract(ox_t), extract(oy_t), extract(oz_t)
-        dx, dy, dz = extract(dx_t), extract(dy_t), extract(dz_t)
+        ray = _extract_column(ray_tiles, col_mask)
 
         # Per-column hitting-block range, precomputed VECTORIZED in XLA and
         # handed over via SMEM: scalar loop bounds with NO vector->scalar
@@ -120,58 +193,8 @@ def _search_tile(first_ref, last_ref, rays_ref, tris_ref, oidx_ref, dst_ref,
         first = first_ref[col_base + i]
         last = last_ref[col_base + i]
 
-        def mt_chunk(j, best_d, best_i):
-            ax, ay, az = tri_row(0, j), tri_row(1, j), tri_row(2, j)
-            abx, aby, abz = tri_row(3, j), tri_row(4, j), tri_row(5, j)
-            acx, acy, acz = tri_row(6, j), tri_row(7, j), tri_row(8, j)
-            nx, ny, nz = tri_row(9, j), tri_row(10, j), tri_row(11, j)
-            off = pl.multiple_of(j * TRI_LANES, TRI_LANES)
-            oidx = oidx_ref[0:1, pl.ds(off, TRI_LANES)]  # (1, 128) i32
-
-            # Backface cull against the stored normal (``raytracing.c:189``).
-            dn = dx * nx + dy * ny + dz * nz
-
-            # h = dir × AC
-            hx = dy * acz - dz * acy
-            hy = dz * acx - dx * acz
-            hz = dx * acy - dy * acx
-            det = abx * hx + aby * hy + abz * hz
-            degenerate = jnp.abs(det) < EPSILON
-            inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
-
-            # s = origin − A
-            sx = ox - ax
-            sy = oy - ay
-            sz = oz - az
-            u = (sx * hx + sy * hy + sz * hz) * inv_det
-
-            # q = s × AB
-            qx = sy * abz - sz * aby
-            qy = sz * abx - sx * abz
-            qz = sx * aby - sy * abx
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            dst = (acx * qx + acy * qy + acz * qz) * inv_det
-
-            valid = (
-                (dn < 0.0)
-                & ~degenerate
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (dst >= EPSILON)
-            )
-            dst = jnp.where(valid, dst, MISS_DST)
-            oidx_b = jnp.broadcast_to(oidx, (RAY_SUBLANES, TRI_LANES))
-            # Lexicographic (dst, original index): bit-identical to the
-            # sequential C scan order under any block permutation.
-            take = (dst < best_d) | ((dst == best_d) & (oidx_b < best_i))
-            best_d = jnp.where(take, dst, best_d)
-            best_i = jnp.where(take, oidx_b, best_i)
-            return best_d, best_i
-
         def per_tri_chunk(j, carry):
-            return mt_chunk(j, *carry)
+            return _mt_block_test(ray, tris_ref, oidx_ref, j, *carry)
 
         init = (
             jnp.full((RAY_SUBLANES, TRI_LANES), MISS_DST, jnp.float32),
@@ -180,14 +203,7 @@ def _search_tile(first_ref, last_ref, rays_ref, tris_ref, oidx_ref, dst_ref,
         best_d, best_i = jax.lax.fori_loop(
             first, jnp.minimum(last + 1, n_tri_chunks), per_tri_chunk, init
         )
-
-        # Cross-lane reduction: min distance, then the lowest original index
-        # among the lanes achieving it (exact C tie semantics).
-        dmin = jnp.min(best_d, axis=1, keepdims=True)  # (8, 1)
-        imin = jnp.min(
-            jnp.where(best_d <= dmin, best_i, _BIG_I32), axis=1, keepdims=True
-        )
-        imin = jnp.where(dmin < MISS_DST, imin, -1)
+        dmin, imin = _column_argmin(best_d, best_i)
 
         # Scatter this column's result into the accumulators (masked select —
         # dynamic single-lane stores are not addressable on TPU).
@@ -331,12 +347,7 @@ def _search_tile_bitmask(n_active, colidx_ref, mask_ref, deb_ref, rays_ref,
     shape = (RAY_SUBLANES, cols)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
-    ox_t, oy_t, oz_t = rays_ref[0], rays_ref[1], rays_ref[2]
-    dx_t, dy_t, dz_t = rays_ref[3], rays_ref[4], rays_ref[5]
-
-    def tri_row(r: int, j) -> jax.Array:
-        off = pl.multiple_of(j * TRI_LANES, TRI_LANES)
-        return tris_ref[r : r + 1, pl.ds(off, TRI_LANES)]  # (1, 128)
+    ray_tiles = tuple(rays_ref[k] for k in range(6))
 
     def per_column(jj, acc):
         acc_d, acc_i = acc
@@ -346,52 +357,7 @@ def _search_tile_bitmask(n_active, colidx_ref, mask_ref, deb_ref, rays_ref,
         # Occupancy on compacted secondary bounces is often ~10-40%.
         i = colidx_ref[col_base + jj]
         col_mask = col_iota == i
-
-        def extract(tile):  # (8, COLS) → (8, 1): masked cross-lane reduce
-            return jnp.sum(jnp.where(col_mask, tile, 0.0), axis=1, keepdims=True)
-
-        ox, oy, oz = extract(ox_t), extract(oy_t), extract(oz_t)
-        dx, dy, dz = extract(dx_t), extract(dy_t), extract(dz_t)
-
-        def mt_chunk(j, best_d, best_i):
-            ax, ay, az = tri_row(0, j), tri_row(1, j), tri_row(2, j)
-            abx, aby, abz = tri_row(3, j), tri_row(4, j), tri_row(5, j)
-            acx, acy, acz = tri_row(6, j), tri_row(7, j), tri_row(8, j)
-            nx, ny, nz = tri_row(9, j), tri_row(10, j), tri_row(11, j)
-            off = pl.multiple_of(j * TRI_LANES, TRI_LANES)
-            oidx = oidx_ref[0:1, pl.ds(off, TRI_LANES)]  # (1, 128) i32
-
-            dn = dx * nx + dy * ny + dz * nz
-            hx = dy * acz - dz * acy
-            hy = dz * acx - dx * acz
-            hz = dx * acy - dy * acx
-            det = abx * hx + aby * hy + abz * hz
-            degenerate = jnp.abs(det) < EPSILON
-            inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
-            sx = ox - ax
-            sy = oy - ay
-            sz = oz - az
-            u = (sx * hx + sy * hy + sz * hz) * inv_det
-            qx = sy * abz - sz * aby
-            qy = sz * abx - sx * abz
-            qz = sx * aby - sy * abx
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            dst = (acx * qx + acy * qy + acz * qz) * inv_det
-            valid = (
-                (dn < 0.0)
-                & ~degenerate
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (dst >= EPSILON)
-            )
-            dst = jnp.where(valid, dst, MISS_DST)
-            oidx_b = jnp.broadcast_to(oidx, (RAY_SUBLANES, TRI_LANES))
-            take = (dst < best_d) | ((dst == best_d) & (oidx_b < best_i))
-            best_d = jnp.where(take, dst, best_d)
-            best_i = jnp.where(take, oidx_b, best_i)
-            return best_d, best_i
+        ray = _extract_column(ray_tiles, col_mask)
 
         best = (
             jnp.full((RAY_SUBLANES, TRI_LANES), MISS_DST, jnp.float32),
@@ -408,21 +374,16 @@ def _search_tile_bitmask(n_active, colidx_ref, mask_ref, deb_ref, rays_ref,
                 # i32 multiply wraps mod 2^32 and `& 31` discards the
                 # arithmetic-shift sign fill.
                 j = deb_ref[((lsb * jnp.int32(_DEBRUIJN)) >> 27) & 31]
-                bd, bi = mt_chunk(base + j, bd, bi)
+                bd, bi = _mt_block_test(ray, tris_ref, oidx_ref,
+                                        base + j, bd, bi)
                 return (m & (m - 1), bd, bi)
 
             m, bd, bi = jax.lax.while_loop(
                 lambda c: c[0] != 0, bit_body, (m0, *best)
             )
             best = (bd, bi)
-        best_d, best_i = best
 
-        dmin = jnp.min(best_d, axis=1, keepdims=True)  # (8, 1)
-        imin = jnp.min(
-            jnp.where(best_d <= dmin, best_i, _BIG_I32), axis=1, keepdims=True
-        )
-        imin = jnp.where(dmin < MISS_DST, imin, -1)
-
+        dmin, imin = _column_argmin(*best)
         acc_d = jnp.where(col_mask, dmin, acc_d)
         acc_i = jnp.where(col_mask, imin, acc_i)
         return acc_d, acc_i
@@ -488,6 +449,27 @@ def _search_padded_bitmask(col_counts, col_index, masks, rays_planes,
     return dst, idx
 
 
+def _slab_any_hit(lo, hi, o_p, inv_p, a_p):
+    """AABB slab test: does any live lane of each packet hit each block?
+
+    ``lo/hi``: ``(group, 3)`` block bounds; ``o_p``: ``(C, 8, 3)`` packet
+    origins; ``inv_p``: reciprocal directions (conservatively substituted
+    for |d| < 1e-20 — an axis with d ~ 0 yields ±huge slab bounds, so
+    inside-origin rays still pass and outside-origin rays still miss).
+    Returns ``(C, group)`` bool. Inverted (lo > hi) padding/empty boxes are
+    masked explicitly — the min/max slab formulation silently normalizes
+    them into valid intervals otherwise. The SINGLE implementation behind
+    both the range and bitmask culling preludes.
+    """
+    t0 = (lo[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
+    t1 = (hi[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (C, 8, group)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & a_p[:, :, None]
+    valid = jnp.all(lo <= hi, axis=-1)  # (group,)
+    return jnp.any(hit_box, axis=1) & valid[None, :]  # (C, group)
+
+
 def packet_block_masks(o_p, d_p, a_p, accel: TriangleAccel):
     """Per-packet hit bitmask words via AABB slab tests.
 
@@ -511,13 +493,7 @@ def packet_block_masks(o_p, d_p, a_p, accel: TriangleAccel):
 
     def word(args):
         lo, hi = args
-        t0 = (lo[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
-        t1 = (hi[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
-        tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (C, 8, 31)
-        tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & a_p[:, :, None]
-        valid = jnp.all(lo <= hi, axis=-1)  # inverted padding boxes never hit
-        any_hit = jnp.any(hit_box, axis=1) & valid[None, :]  # (C, 31)
+        any_hit = _slab_any_hit(lo, hi, o_p, inv_p, a_p)  # (C, 31)
         return jnp.sum(jnp.where(any_hit, bits[None, :], 0), axis=1,
                        dtype=jnp.int32)  # (C,)
 
@@ -551,16 +527,7 @@ def packet_block_ranges(o_p, d_p, a_p, accel: TriangleAccel):
     def block_group(carry, args):
         first, last, base = carry
         lo, hi = args
-        t0 = (lo[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
-        t1 = (hi[None, None] - o_p[:, :, None]) * inv_p[:, :, None]
-        tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (C, 8, group)
-        tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & a_p[:, :, None]
-        # Inverted (never-hit) boxes — block padding and empty accel blocks —
-        # must be masked explicitly: the min/max slab formulation silently
-        # normalizes a lo>hi box into a valid interval.
-        valid = jnp.all(lo <= hi, axis=-1)  # (group,)
-        any_hit = jnp.any(hit_box, axis=1) & valid[None, :]  # (C, group)
+        any_hit = _slab_any_hit(lo, hi, o_p, inv_p, a_p)  # (C, group)
         blk = base + jnp.arange(group, dtype=jnp.int32)[None, :]
         first = jnp.minimum(
             first, jnp.min(jnp.where(any_hit, blk, jnp.int32(_BIG_I32)), axis=1)
@@ -615,6 +582,14 @@ def search_triangles_pallas(
         interpret = jax.default_backend() != "tpu"
     if accel is None:
         accel = trivial_accel(tris)
+    if cull == "bitmask":
+        # The bitmask kernel unrolls one bit-walk loop per 31-block word;
+        # very large scenes would blow up Mosaic compile time and program
+        # size. Past ~8 words (~32k triangles) fall back to the bounded
+        # [first, last] range kernel, which handles any block count.
+        n_blocks_total = accel.aabb_lo.shape[0]
+        if -(-n_blocks_total // BITS_PER_WORD) > 8:
+            cull = "range"
     r = o.shape[0]
     # The per-column range arrays live whole in SMEM (r/8 i32 each); bound
     # them by splitting very large direct calls into slices. The renderer's

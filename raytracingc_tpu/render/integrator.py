@@ -35,26 +35,6 @@ def _normalize(v: jax.Array) -> jax.Array:
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
 
 
-@jax.custom_vjp
-def _no_reverse(x: jax.Array) -> jax.Array:
-    """Identity that fails LOUDLY under reverse-mode differentiation."""
-    return x
-
-
-def _no_reverse_fwd(x):
-    return x, None
-
-
-def _no_reverse_bwd(_, g):
-    raise NotImplementedError(
-        "trace_paths/trace_accumulate with early_exit=True runs the bounce "
-        "loop as a lax.while_loop, which is not reverse-differentiable. "
-        "Pass early_exit=False (the fixed-length masked scan — identical "
-        "output) when taking gradients."
-    )
-
-
-_no_reverse.defvjp(_no_reverse_fwd, _no_reverse_bwd)
 
 
 def _reflect(d: jax.Array, n: jax.Array) -> jax.Array:
@@ -212,17 +192,7 @@ def trace_paths(
             if t + 1 < len(sizes):
                 k = sizes[t + 1]
                 pos_b, d_b, thr_b, light_b, alive_b, state_b, count_b = buf
-                # Stable alive-front permutation via prefix sums.
-                n_alive = jnp.sum(alive_b.astype(jnp.int32))
-                pos_idx = jnp.cumsum(alive_b.astype(jnp.int32)) - 1
-                neg_idx = (
-                    jnp.cumsum((~alive_b).astype(jnp.int32)) - 1 + n_alive
-                )
-                dest = jnp.where(alive_b, pos_idx, neg_idx)
-                perm = jnp.zeros((size,), jnp.int32).at[dest].set(
-                    jnp.arange(size, dtype=jnp.int32)
-                )
-                sel = perm[:k]
+                sel = _alive_front_perm(alive_b)[:k]
                 take = lambda x: jnp.take(x, sel, axis=0)
                 buf = (
                     take(pos_b), take(d_b), take(thr_b), take(light_b),
@@ -230,11 +200,11 @@ def trace_paths(
                 )
                 orig = jnp.take(orig, sel)
 
-        light, count = light_full, buf[6]
-        # The while_loop would fail reverse-mode anyway, but with a cryptic
-        # error; this substitutes an actionable one at grad-trace time.
-        light = _no_reverse(light)
-        return light, count
+        # NOTE: this path is not reverse-differentiable (lax.while_loop has
+        # no transpose rule; jax raises a clear error naming while_loop).
+        # Use early_exit=False (the fixed-length masked scan) for gradients.
+        # Forward-mode (jvp) works fine through the while_loops.
+        return light_full, buf[6]
 
     carry, _ = jax.lax.scan(bounce, carry, None, length=remaining)
     _, _, _, light, _, _, count = carry
@@ -331,14 +301,13 @@ def trace_accumulate(
         )
         return acc / jnp.float32(spp), total
 
-    k0 = r // 4
-    if (
-        early_exit and compact and max_bounce >= 1
-        and k0 >= 1024 and r % 4 == 0
-    ):
+    if early_exit and max_bounce >= 1:
+        k0 = r // 4
+        if not (compact and k0 >= 1024 and r % 4 == 0):
+            k0 = None  # full-width only; same accumulation association
         return _hit_front_accumulate(
             origins, dirs, scene, ray_ids, seed_arr, offset, spp,
-            max_bounce, backend, active, hit0, k0,
+            max_bounce, backend, active, hit0, k0, compact,
         )
 
     def sample(carry, sample_id):
@@ -358,9 +327,27 @@ def trace_accumulate(
     return acc / jnp.float32(spp), total
 
 
+def _alive_front_perm(mask: jax.Array) -> jax.Array:
+    """Stable front-packing permutation: True lanes first, original order.
+
+    ``perm[j]`` is the index of the j-th True lane for ``j < sum(mask)``,
+    then the False lanes in order — argsort-free via prefix sums. The same
+    idiom serves the tier-cascade transitions and the hit-front selection;
+    both compaction bit-identity arguments rest on this being stable.
+    """
+    n = mask.shape[0]
+    n_true = jnp.sum(mask.astype(jnp.int32))
+    posi = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    negi = jnp.cumsum((~mask).astype(jnp.int32)) - 1 + n_true
+    dest = jnp.where(mask, posi, negi)
+    return jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+
+
 def _hit_front_accumulate(
     origins, dirs, scene, ray_ids, seed_arr, offset, spp,
-    max_bounce, backend, active, hit0, k0,
+    max_bounce, backend, active, hit0, k0, compact,
 ):
     """Sample accumulation with per-CHUNK hit-front compaction.
 
@@ -381,14 +368,18 @@ def _hit_front_accumulate(
       per-sample radiance accumulates compact; ONE scatter-add per chunk
       maps it back.
 
-    Falls back to the monolithic per-sample path (a ``lax.cond`` branch)
-    when more than ``k0 = R/4`` lanes hit (e.g. fully geometry-covered
-    chunks), where compaction cannot help anyway.
+    Chunks with more than ``k0 = R/4`` hit lanes (e.g. fully
+    geometry-covered chunks, where compaction cannot help) take a FULL-WIDTH
+    branch of the same structure via ``lax.cond``; ``k0=None`` (small
+    chunks, or ``compact=False``) uses the full-width branch alone.
 
-    Per-lane radiance is bit-identical to the monolithic path (same RNG
-    draw order per lane); only the ORDER of float additions into the
-    accumulator differs (bounce-0 light is ``light0 * spp`` instead of
-    ``spp`` sequential adds), so totals agree to float re-association.
+    Both branches compute per-lane radiance as
+    ``light0 * spp + sum_s(rest_s)`` with identical per-lane arithmetic
+    (compaction itself is bit-identical), so the result does NOT depend on
+    which branch ran — which keeps the sharded == single-device invariant
+    EXACT regardless of per-shard chunk statistics. Only the fixed-length
+    scan path (``early_exit=False``) associates differently
+    (``sum_s(light0 + rest_s)``), agreeing to float re-association.
     """
     r = origins.shape[0]
     act = jnp.ones((r,), bool) if active is None else active
@@ -408,66 +399,62 @@ def _hit_front_accumulate(
 
     sample_ids = jnp.arange(spp, dtype=jnp.uint32) + offset
 
-    def compact_branch(_):
-        # Hit-front permutation, built ONCE per chunk (prefix sums).
-        posi = jnp.cumsum(hitm.astype(jnp.int32)) - 1
-        negi = jnp.cumsum((~hitm).astype(jnp.int32)) - 1 + n_hit
-        dest = jnp.where(hitm, posi, negi)
-        perm = jnp.zeros((r,), jnp.int32).at[dest].set(
-            jnp.arange(r, dtype=jnp.int32)
+    def continuation(point, normal, albedo, smooth, d0, ids, valid, width):
+        """Per-sample bounces 1..N-1 from the (possibly compacted) hit set."""
+        smooth = smooth[:, None]
+        # Post-bounce-0 throughput is deterministic: albedo / p with
+        # p = max(albedo) (the roulette renorm); only SURVIVAL is random.
+        p = jnp.max(albedo, axis=-1)
+        thr = albedo / jnp.where(p > 0.0, p, 1.0)[:, None]
+        spec = _reflect(d0, normal)
+
+        def sample(carry, sid):
+            acc, total = carry
+            state = rng.stream_init(seed_arr, ids, sid)
+            # Same draw order as ``bounce_with_hit``: 6 for the unit vector,
+            # 1 for roulette — per-lane streams match the scan path.
+            state, unit = rng.next_unit_vector(state)
+            diffuse = _normalize(normal + unit)
+            new_dir = (1.0 - smooth) * diffuse + smooth * spec
+            state, u_rr = rng.next_uniform(state)
+            alive1 = valid & (p >= u_rr)
+            light_s, cnt = trace_paths(
+                point, new_dir, state, scene, max_bounce - 1,
+                backend=backend, active=alive1, early_exit=True,
+                compact=compact, throughput0=thr,
+            )
+            return (acc + light_s, total + cnt), None
+
+        init = (
+            jnp.zeros((width, 3), jnp.float32), jnp.zeros((), jnp.float32)
         )
-        sel0 = perm[:k0]
+        (acc, total), _ = jax.lax.scan(sample, init, sample_ids)
+        return acc, total
+
+    def full_branch(_):
+        acc_r, total = continuation(
+            hit0.point, hit0.normal, hit0.albedo, hit0.smoothness,
+            dirs, ray_ids, hitm, r,
+        )
+        return light0 * jnp.float32(spp) + acc_r, total + count0
+
+    if k0 is None:
+        acc, total = full_branch(None)
+        return acc / jnp.float32(spp), total
+
+    def compact_branch(_):
+        # Hit-front permutation, built ONCE per chunk.
+        sel0 = _alive_front_perm(hitm)[:k0]
         lanes = jnp.arange(k0, dtype=jnp.int32) < n_hit  # valid slots
 
         g = lambda x: jnp.take(x, sel0, axis=0)
-        point_c = g(hit0.point)
-        normal_c = g(hit0.normal)
-        albedo_c = g(hit0.albedo)
-        smooth_c = g(hit0.smoothness)[:, None]
-        d0_c = g(dirs)
-        ids_c = g(ray_ids)
-        # Post-bounce-0 throughput is deterministic: albedo / p with
-        # p = max(albedo) (the roulette renorm); only SURVIVAL is random.
-        p_c = jnp.max(albedo_c, axis=-1)
-        thr_c = albedo_c / jnp.where(p_c > 0.0, p_c, 1.0)[:, None]
-        spec_c = _reflect(d0_c, normal_c)
-
-        def sample(carry, sid):
-            acc_c, total = carry
-            state = rng.stream_init(seed_arr, ids_c, sid)
-            # Same draw order as ``bounce_with_hit``: 6 for the unit vector,
-            # 1 for roulette — per-lane streams match the monolithic path.
-            state, unit = rng.next_unit_vector(state)
-            diffuse = _normalize(normal_c + unit)
-            new_dir = (1.0 - smooth_c) * diffuse + smooth_c * spec_c
-            state, u_rr = rng.next_uniform(state)
-            alive1 = lanes & (p_c >= u_rr)
-            light_c, cnt = trace_paths(
-                point_c, new_dir, state, scene, max_bounce - 1,
-                backend=backend, active=alive1, early_exit=True,
-                compact=True, throughput0=thr_c,
-            )
-            return (acc_c + light_c, total + cnt), None
-
-        init = (jnp.zeros((k0, 3), jnp.float32), jnp.zeros((), jnp.float32))
-        (acc_c, total), _ = jax.lax.scan(sample, init, sample_ids)
+        acc_c, total = continuation(
+            g(hit0.point), g(hit0.normal), g(hit0.albedo),
+            g(hit0.smoothness), g(dirs), g(ray_ids), lanes, k0,
+        )
         acc = light0 * jnp.float32(spp)
         acc = acc.at[sel0].add(jnp.where(lanes[:, None], acc_c, 0.0))
         return acc, total + count0
-
-    def full_branch(_):
-        def sample(carry, sid):
-            acc, total = carry
-            state = rng.stream_init(seed_arr, ray_ids, sid)
-            radiance, count = trace_paths(
-                origins, dirs, state, scene, max_bounce, backend=backend,
-                active=act, early_exit=True, first_hit=hit0, compact=True,
-            )
-            return (acc + radiance, total + count), None
-
-        init = (jnp.zeros((r, 3), jnp.float32), jnp.zeros((), jnp.float32))
-        (acc, total), _ = jax.lax.scan(sample, init, sample_ids)
-        return acc, total
 
     acc, total = jax.lax.cond(
         n_hit <= k0, compact_branch, full_branch, operand=None

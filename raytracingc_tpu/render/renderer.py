@@ -56,8 +56,13 @@ def render(
     chunk that keeps the live ray state comfortably inside HBM.
 
     ``early_exit`` (default on) stops each chunk's bounce loop once all its
-    lanes are dead — bit-identical output, NOT reverse-differentiable; pass
-    ``False`` when differentiating through the render.
+    lanes are dead and accumulates samples hit-front (see
+    ``integrator._hit_front_accumulate``). Per-lane radiance equals the
+    fixed-length scan up to float re-association of the bounce-0 light sum
+    (~1e-6) with exactly equal traced-ray counts, and — by design — is
+    IDENTICAL bitwise across any chunking or sharding of the pixel axis
+    (every width uses the same ``light0*spp + sum(rest)`` association).
+    NOT reverse-differentiable; pass ``False`` when differentiating.
     """
     n_pix = width * height
     if pixel_chunk is None:

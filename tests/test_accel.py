@@ -133,3 +133,46 @@ def test_packet_block_ranges_multi_group():
             assert first[c] > last[c]
         else:
             assert first[c] == idxs.min() and last[c] == idxs.max()
+
+
+def test_bitmask_cull_multiword_scene():
+    """Scenes with more than 31 blocks need multiple mask words per packet —
+    exercise the word loop and cross-word bit indexing against brute force."""
+    import numpy as np
+
+    from raytracingc_tpu.ops.intersect import _search_triangles_xla
+    from raytracingc_tpu.scene.builder import triangles_from_arrays
+    from raytracingc_tpu.scene.types import Scene, Spheres
+
+    rng = np.random.default_rng(7)
+    t = 40 * 128  # 40 blocks -> 2 mask words (31 bits each)
+    centers = rng.uniform(-30, 30, size=(t, 3)).astype(np.float32)
+    centers[:, 2] += 40.0  # in front of the camera
+    e1 = rng.normal(size=(t, 3)).astype(np.float32) * 0.4
+    e2 = rng.normal(size=(t, 3)).astype(np.float32) * 0.4
+    verts = np.stack([centers, centers + e1, centers + e2], axis=1)
+    normals = np.cross(e1, e2)
+    lens = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = normals / np.maximum(lens, 1e-9)
+    tris, n_live = triangles_from_arrays(
+        verts, normals, np.full((t, 3), 0.5, np.float32),
+        np.zeros(t, np.float32), np.zeros(t, np.float32))
+    scene = Scene.build(triangles=tris, spheres=Spheres.empty()).with_accel()
+    assert scene.accel.aabb_lo.shape[0] > 31  # multi-word regime
+
+    from raytracingc_tpu.camera import Camera, primary_rays
+    from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
+
+    cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
+    o, d = primary_rays(cam, 24, 24)
+    d_bm, i_bm = search_triangles_pallas(
+        o, d, scene.triangles, interpret=True, accel=scene.accel,
+        cull="bitmask")
+    d_rg, i_rg = search_triangles_pallas(
+        o, d, scene.triangles, interpret=True, accel=scene.accel,
+        cull="range")
+    d_x, i_x = _search_triangles_xla(o, d, scene.triangles, chunk=128)
+    np.testing.assert_array_equal(np.asarray(i_bm), np.asarray(i_rg))
+    np.testing.assert_array_equal(np.asarray(i_bm), np.asarray(i_x))
+    np.testing.assert_allclose(np.asarray(d_bm), np.asarray(d_x), rtol=1e-6)
+    assert int((np.asarray(i_bm) >= 0).sum()) > 20  # scene actually hit

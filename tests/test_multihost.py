@@ -55,7 +55,12 @@ _CHILD = textwrap.dedent(
     # Local single-device reference (pure local computation).
     img_local, count_local = render(scene, cam, **kw)
 
-    np.testing.assert_array_equal(np.asarray(full), np.asarray(img_local))
+    # Counts are exact; radiance agrees to ~1 ulp. (Bitwise equality holds
+    # only between identical XLA programs — the sharded and local renders
+    # compile separately and XLA's fusion/FMA-contraction choices are
+    # context-dependent, measured at <= 6e-8 here.)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(img_local),
+                               rtol=0, atol=5e-7)
     assert count == float(count_local), (count, float(count_local))
     print(f"MULTIHOST_PASS p{process_id}")
     """

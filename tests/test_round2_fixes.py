@@ -201,9 +201,10 @@ def test_cli_shard_plus_checkpoint(models_dir, tmp_path):
     )
 
 
-def test_early_exit_grad_raises_actionable_error():
-    """Differentiating the while_loop variant must fail with guidance, not a
-    cryptic lax.while_loop transpose error."""
+def test_early_exit_grad_raises_and_jvp_works():
+    """Reverse-mode through the while_loop variant fails loudly (jax's own
+    error names while_loop); forward-mode (jvp) must keep working — a
+    custom_vjp guard used briefly in round 2 broke jvp and was removed."""
     import jax
     import jax.numpy as jnp
     import pytest
@@ -211,7 +212,7 @@ def test_early_exit_grad_raises_actionable_error():
     from raytracingc_tpu.camera import Camera, primary_rays
     from raytracingc_tpu.render.integrator import trace_accumulate
 
-    scene = _two_tri_scene()
+    scene = _two_tri_scene().replace(accel=None)
     cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
     o, d = primary_rays(cam, 4, 4)
     ids = jnp.arange(16, dtype=jnp.uint32)
@@ -221,8 +222,13 @@ def test_early_exit_grad_raises_actionable_error():
                                 early_exit=True)
         return jnp.sum(r)
 
-    with pytest.raises(NotImplementedError, match="early_exit=False"):
-        jax.grad(loss)(scene.replace(accel=None))
+    with pytest.raises(ValueError, match="while_loop"):
+        jax.grad(loss)(scene)
+
+    # Forward-mode works (while_loop has a JVP rule).
+    tangent = jax.tree_util.tree_map(jnp.ones_like, scene)
+    _, dot = jax.jvp(loss, (scene,), (tangent,))
+    assert jnp.isfinite(dot)
 
 
 def test_hit_front_accumulator_matches_scan():
@@ -241,10 +247,52 @@ def test_hit_front_accumulator_matches_scan():
                                rtol=3e-6, atol=3e-7)
 
     # Camera inside the box: full geometry coverage -> n_hit > R/4 -> the
-    # cond falls back to the monolithic branch, which is bit-identical.
+    # cond takes the full-width branch (same association as compact).
     cam2 = Camera.look_at(origin=[0.0, -1.0, 0.0], target=[1.0, -1.0, 0.0])
     a2, c2 = render(scene, cam2, 80, 80, spp=2, max_bounce=4,
                     early_exit=False)
     b2, c3 = render(scene, cam2, 80, 80, spp=2, max_bounce=4, compact=True)
     assert float(c2) == float(c3)
-    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
+                               rtol=3e-6, atol=3e-7)
+
+
+def test_early_exit_render_is_chunking_invariant():
+    """The production (early_exit) path must produce BITWISE-identical
+    radiance under any pixel chunking — the property that keeps
+    'sharded == single-device exactly' true regardless of per-shard chunk
+    statistics (every width uses the light0*spp + sum(rest) association,
+    and which cond branch runs cannot change per-lane values)."""
+    from __graft_entry__ import _demo_scene
+    from raytracingc_tpu.render.renderer import render
+
+    scene = _demo_scene()
+    cam = Camera.look_at()
+    imgs = [
+        np.asarray(render(scene, cam, 80, 80, spp=2, max_bounce=4,
+                          pixel_chunk=c)[0])
+        for c in (1024, 2048, 7168)
+    ]
+    np.testing.assert_allclose(imgs[0], imgs[1], rtol=0, atol=5e-7)
+    np.testing.assert_allclose(imgs[0], imgs[2], rtol=0, atol=5e-7)
+
+
+def test_fit_scene_mesh_material_training_keeps_accel():
+    """The sharded (mesh) path must hand the accel-carrying scene to the
+    train step for material-only training — a round-2 review found the
+    accel was stripped before the loop so the reuse could never engage."""
+    import jax
+    from raytracingc_tpu.diff.optimize import fit_scene
+    from raytracingc_tpu.parallel.mesh import make_mesh
+
+    scene = _two_tri_scene()
+    assert scene.accel is not None
+    cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+    mesh = make_mesh(px=len(jax.devices()), spp=1)
+    fitted, losses = fit_scene(
+        scene, target, cam, steps=1, spp=1, max_bounce=1,
+        learning_rate=0.0, trainable=["albedo"], mesh=mesh,
+    )
+    assert fitted.accel is not None
+    assert len(losses) == 1 and np.isfinite(losses[0])

@@ -75,13 +75,16 @@ def test_progressive_resume(demo_scene, cam, tmp_path):
 
 
 def test_early_exit_matches_scan(demo_scene, cam):
-    """while_loop early exit must be bit-identical to the fixed-length scan."""
+    """Early exit (hit-front accumulation) == fixed-length scan up to float
+    re-association of the bounce-0 light sum; ray counts exactly equal."""
     w = h = 8
-    a, _ = render(demo_scene, cam, w, h, spp=2, max_bounce=4, seed=1,
-                  early_exit=False)
-    b, _ = render(demo_scene, cam, w, h, spp=2, max_bounce=4, seed=1,
-                  early_exit=True)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a, ca = render(demo_scene, cam, w, h, spp=2, max_bounce=4, seed=1,
+                   early_exit=False)
+    b, cb = render(demo_scene, cam, w, h, spp=2, max_bounce=4, seed=1,
+                   early_exit=True)
+    assert float(ca) == float(cb)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=3e-6, atol=3e-7)
 
 
 def test_profiler():
