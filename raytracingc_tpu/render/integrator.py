@@ -302,12 +302,17 @@ def trace_accumulate(
         return acc / jnp.float32(spp), total
 
     if early_exit and max_bounce >= 1:
-        k0 = r // 4
-        if not (compact and k0 >= 1024 and r % 4 == 0):
-            k0 = None  # full-width only; same accumulation association
+        # Entry-width ladder: tightest first. The suzannes bench's typical
+        # chunk has ~11% hit lanes, so most chunks enter at R/8 — halving
+        # the per-sample search width and the cascade-transition cost vs a
+        # fixed R/4 entry.
+        k0s = [
+            k for k in (r // 8, r // 4)
+            if compact and k >= 1024 and r % k == 0
+        ]
         return _hit_front_accumulate(
             origins, dirs, scene, ray_ids, seed_arr, offset, spp,
-            max_bounce, backend, active, hit0, k0, compact,
+            max_bounce, backend, active, hit0, k0s, compact,
         )
 
     def sample(carry, sample_id):
@@ -347,7 +352,7 @@ def _alive_front_perm(mask: jax.Array) -> jax.Array:
 
 def _hit_front_accumulate(
     origins, dirs, scene, ray_ids, seed_arr, offset, spp,
-    max_bounce, backend, active, hit0, k0, compact,
+    max_bounce, backend, active, hit0, k0s, compact,
 ):
     """Sample accumulation with per-CHUNK hit-front compaction.
 
@@ -368,9 +373,11 @@ def _hit_front_accumulate(
       per-sample radiance accumulates compact; ONE scatter-add per chunk
       maps it back.
 
-    Chunks with more than ``k0 = R/4`` hit lanes (e.g. fully
-    geometry-covered chunks, where compaction cannot help) take a FULL-WIDTH
-    branch of the same structure via ``lax.cond``; ``k0=None`` (small
+    ``k0s`` is an entry-width ladder (e.g. ``[R/8, R/4]``): a
+    ``lax.switch`` picks the tightest width the chunk's hit count fits.
+    Chunks whose hit count exceeds every ladder entry (e.g. fully
+    geometry-covered chunks, where compaction cannot help) take a
+    FULL-WIDTH branch of the same structure; an empty ladder (small
     chunks, or ``compact=False``) uses the full-width branch alone.
 
     Both branches compute per-lane radiance as
@@ -438,27 +445,33 @@ def _hit_front_accumulate(
         )
         return light0 * jnp.float32(spp) + acc_r, total + count0
 
-    if k0 is None:
+    if not k0s:
         acc, total = full_branch(None)
         return acc / jnp.float32(spp), total
 
-    def compact_branch(_):
-        # Hit-front permutation, built ONCE per chunk.
-        sel0 = _alive_front_perm(hitm)[:k0]
-        lanes = jnp.arange(k0, dtype=jnp.int32) < n_hit  # valid slots
+    def make_compact_branch(k0):
+        def compact_branch(_):
+            # Hit-front permutation, built ONCE per chunk.
+            sel0 = _alive_front_perm(hitm)[:k0]
+            lanes = jnp.arange(k0, dtype=jnp.int32) < n_hit  # valid slots
 
-        g = lambda x: jnp.take(x, sel0, axis=0)
-        acc_c, total = continuation(
-            g(hit0.point), g(hit0.normal), g(hit0.albedo),
-            g(hit0.smoothness), g(dirs), g(ray_ids), lanes, k0,
-        )
-        acc = light0 * jnp.float32(spp)
-        acc = acc.at[sel0].add(jnp.where(lanes[:, None], acc_c, 0.0))
-        return acc, total + count0
+            g = lambda x: jnp.take(x, sel0, axis=0)
+            acc_c, total = continuation(
+                g(hit0.point), g(hit0.normal), g(hit0.albedo),
+                g(hit0.smoothness), g(dirs), g(ray_ids), lanes, k0,
+            )
+            acc = light0 * jnp.float32(spp)
+            acc = acc.at[sel0].add(jnp.where(lanes[:, None], acc_c, 0.0))
+            return acc, total + count0
 
-    acc, total = jax.lax.cond(
-        n_hit <= k0, compact_branch, full_branch, operand=None
-    )
+        return compact_branch
+
+    # Switch index: tightest fitting ladder entry, else the full branch.
+    branches = [make_compact_branch(k) for k in k0s] + [full_branch]
+    idx = jnp.int32(len(k0s))  # default: full
+    for t in reversed(range(len(k0s))):
+        idx = jnp.where(n_hit <= k0s[t], jnp.int32(t), idx)
+    acc, total = jax.lax.switch(idx, branches, None)
     return acc / jnp.float32(spp), total
 
 
