@@ -54,7 +54,9 @@ TRI_LANES = 128
 # Ray columns per grid program (8 * 128 = 1024 rays, lane-aligned blocks).
 # Measured sweet spot: the per-column masked extract reduces over the whole
 # (8, COLS) tile, so its cost is quadratic in COLS — 1024-column programs
-# benched 28% SLOWER than 128 despite 8x fewer triangle-block DMAs.
+# benched 28% SLOWER than 128 despite 8x fewer triangle-block DMAs. 128 is
+# also the FLOOR: the (8, COLS) output tiles need 128-lane alignment
+# (64-column programs fail BlockSpec verification).
 COLS_PER_PROGRAM = 128
 
 _BIG_I32 = 2**30  # plain int: jnp constants would be captured by the kernel
