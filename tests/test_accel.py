@@ -176,3 +176,41 @@ def test_bitmask_cull_multiword_scene():
     np.testing.assert_array_equal(np.asarray(i_bm), np.asarray(i_x))
     np.testing.assert_allclose(np.asarray(d_bm), np.asarray(d_x), rtol=1e-6)
     assert int((np.asarray(i_bm) >= 0).sum()) > 20  # scene actually hit
+
+
+def test_bitmask_cull_falls_back_for_many_blocks():
+    """Past 8 mask words (~32k triangles) the bitmask kernel would unroll
+    excessively; search_triangles_pallas must silently use the bounded range
+    kernel instead, with identical results."""
+    import numpy as np
+
+    from raytracingc_tpu.ops.intersect import _search_triangles_xla
+    from raytracingc_tpu.scene.builder import triangles_from_arrays
+    from raytracingc_tpu.scene.types import Scene, Spheres
+
+    rng = np.random.default_rng(11)
+    t = 280 * 128  # 280 blocks -> 10 words > the 8-word unroll budget
+    centers = rng.uniform(-60, 60, size=(t, 3)).astype(np.float32)
+    centers[:, 2] += 80.0
+    e1 = rng.normal(size=(t, 3)).astype(np.float32) * 0.5
+    e2 = rng.normal(size=(t, 3)).astype(np.float32) * 0.5
+    verts = np.stack([centers, centers + e1, centers + e2], axis=1)
+    normals = np.cross(e1, e2)
+    normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True), 1e-9)
+    tris, _ = triangles_from_arrays(
+        verts, normals, np.full((t, 3), 0.5, np.float32),
+        np.zeros(t, np.float32), np.zeros(t, np.float32))
+    scene = Scene.build(triangles=tris, spheres=Spheres.empty()).with_accel()
+    assert scene.accel.aabb_lo.shape[0] > 8 * 31
+
+    from raytracingc_tpu.camera import Camera, primary_rays
+    from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
+
+    cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
+    o, d = primary_rays(cam, 8, 8)
+    d_bm, i_bm = search_triangles_pallas(
+        o, d, scene.triangles, interpret=True, accel=scene.accel,
+        cull="bitmask")  # internally falls back to "range"
+    d_x, i_x = _search_triangles_xla(o, d, scene.triangles, chunk=128)
+    np.testing.assert_array_equal(np.asarray(i_bm), np.asarray(i_x))
+    np.testing.assert_allclose(np.asarray(d_bm), np.asarray(d_x), rtol=1e-6)
