@@ -190,7 +190,8 @@ def nearest_hit(
         from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
 
         tri_dst, tri_idx = search_triangles_pallas(
-            o, d, scene_ng.triangles, alive=alive, accel=scene_ng.accel
+            o, d, scene_ng.triangles, alive=alive, accel=scene_ng.accel,
+            n_live=scene.n_triangles or None,
         )
     else:
         tri_dst, tri_idx = _search_triangles_xla(

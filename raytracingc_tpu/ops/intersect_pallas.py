@@ -286,6 +286,131 @@ def _search_padded(alive_flags, first, last, rays_planes, tris_packed,
 
 
 # ----------------------------------------------------------------------------
+# Ray-major brute kernel for TINY scenes (<= 2 blocks / 256 triangles).
+#
+# The packet architecture's per-column cost (~50 vector ops for the masked
+# extracts + reductions) dominates utterly when there are few triangle
+# blocks: the dense-regime profile (triangles.txt, 14 triangles) showed 72%
+# of the whole render inside the search kernel at 738 us per 16k-ray call.
+# Here the layout is transposed: each program MT-tests its whole (8, COLS)
+# ray tile against one triangle at a time, with the triangle's 12 components
+# read as SMEM scalars and broadcast — no column loop, no extracts, no
+# cross-lane argmin. Triangles stay in ORIGINAL order and the running argmin
+# takes strictly-closer hits only, which IS the C scan order
+# (``raytracing.c:229-237``: a later triangle replaces only on dst <).
+# ----------------------------------------------------------------------------
+
+BRUTE_MAX_TRIS = 256
+
+
+def _search_kernel_brute(
+    alive_ref,  # (G,) i32 SMEM — per-program any-live flags
+    tri_ref,  # (12 * n_live,) f32 SMEM — per-triangle A, AB, AC, N scalars
+    rays_ref,  # (6, 8, COLS) f32 VMEM
+    dst_ref,  # (8, COLS) f32 out
+    idx_ref,  # (8, COLS) i32 out
+    *,
+    n_live: int,
+):
+    cols = dst_ref.shape[1]
+    shape = (RAY_SUBLANES, cols)
+    dst_ref[:, :] = jnp.full(shape, MISS_DST, jnp.float32)
+    idx_ref[:, :] = jnp.full(shape, -1, jnp.int32)
+
+    pid = pl.program_id(0)
+
+    @pl.when(alive_ref[pid] != 0)
+    def _run():
+        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+        best_d = jnp.full(shape, MISS_DST, jnp.float32)
+        best_i = jnp.full(shape, -1, jnp.int32)
+        for j in range(n_live):  # static unroll; n_live <= BRUTE_MAX_TRIS
+            b = 12 * j
+            ax, ay, az = tri_ref[b + 0], tri_ref[b + 1], tri_ref[b + 2]
+            abx, aby, abz = tri_ref[b + 3], tri_ref[b + 4], tri_ref[b + 5]
+            acx, acy, acz = tri_ref[b + 6], tri_ref[b + 7], tri_ref[b + 8]
+            nx, ny, nz = tri_ref[b + 9], tri_ref[b + 10], tri_ref[b + 11]
+
+            dn = dx * nx + dy * ny + dz * nz  # backface cull
+            hx = dy * acz - dz * acy
+            hy = dz * acx - dx * acz
+            hz = dx * acy - dy * acx
+            det = abx * hx + aby * hy + abz * hz
+            degenerate = jnp.abs(det) < EPSILON
+            inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
+            sx = ox - ax
+            sy = oy - ay
+            sz = oz - az
+            u = (sx * hx + sy * hy + sz * hz) * inv_det
+            qx = sy * abz - sz * aby
+            qy = sz * abx - sx * abz
+            qz = sx * aby - sy * abx
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            dst = (acx * qx + acy * qy + acz * qz) * inv_det
+            valid = (
+                (dn < 0.0)
+                & ~degenerate
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (dst >= EPSILON)
+            )
+            dst = jnp.where(valid, dst, MISS_DST)
+            take = dst < best_d  # strict <: original order = C scan order
+            best_d = jnp.where(take, dst, best_d)
+            best_i = jnp.where(take, jnp.int32(j), best_i)
+        dst_ref[:, :] = best_d
+        idx_ref[:, :] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "n_live"))
+def _search_padded_brute(alive_flags, tris_flat, rays_planes, n_live,
+                         interpret=False):
+    n_cols = rays_planes.shape[2]
+    grid = (n_cols // COLS_PER_PROGRAM,)
+
+    kernel = functools.partial(_search_kernel_brute, n_live=n_live)
+    dst, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) alive flags
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (12 * n_live,) tris
+            pl.BlockSpec(
+                (6, RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g: (0, 0, g),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((RAY_SUBLANES, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((RAY_SUBLANES, n_cols), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * RAY_SUBLANES * n_cols * n_live,
+            bytes_accessed=8 * RAY_SUBLANES * n_cols * 4 + 12 * n_live * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(alive_flags, tris_flat, rays_planes)
+    return dst, idx
+
+
+# ----------------------------------------------------------------------------
 # Bitmask culling variant: iterate EXACTLY the hitting blocks per packet.
 #
 # Morton order makes a diagonal packet's contiguous [first, last] range span
@@ -554,8 +679,14 @@ def search_triangles_pallas(
     alive: jax.Array | None = None,
     accel: TriangleAccel | None = None,
     cull: str | None = None,
+    n_live: int | None = None,
 ):
     """Closest-hit triangle search. Returns ``(best_dst [R], best_idx [R])``.
+
+    ``n_live``: the live (unpadded) triangle count. Scenes with at most
+    ``BRUTE_MAX_TRIS`` live triangles use the ray-major brute kernel
+    (triangles as SMEM scalars broadcast over whole ray tiles) — the packet
+    architecture's per-column overhead dwarfs the actual MT work there.
 
     ``best_idx`` is always in ORIGINAL triangle order (the accel's block
     permutation is internal). Handles layout: rays ``[R, 3]``×2 →
@@ -575,6 +706,7 @@ def search_triangles_pallas(
     results either way; ``None`` reads ``RTC_CULL`` (default ``"bitmask"``,
     the measured winner: 15.68M vs 14.52M rays/s on the suzannes bench).
     """
+    auto_cull = cull is None
     if cull is None:
         import os
 
@@ -582,6 +714,11 @@ def search_triangles_pallas(
     assert cull in ("range", "bitmask"), cull
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    orig_tris = tris
+    n_live_t = int(n_live) if n_live is not None else tris.a.shape[0]
+    # Ray-major brute dispatch only in auto mode: an EXPLICIT cull= request
+    # (A/B tests, RTC_CULL debugging) gets the packet kernel it asked for.
+    use_brute = auto_cull and n_live_t <= BRUTE_MAX_TRIS
     if accel is None:
         accel = trivial_accel(tris)
     if cull == "bitmask":
@@ -606,7 +743,8 @@ def search_triangles_pallas(
                 interpret=interpret,
                 alive=None if alive is None else alive[i : i + max_rays],
                 accel=accel,
-                cull=cull,
+                cull=None if auto_cull else cull,
+                n_live=n_live,
             )
             for i in range(0, r, max_rays)
         ]
@@ -636,6 +774,39 @@ def search_triangles_pallas(
     rays_planes = jnp.concatenate(
         [to_planes(o), to_planes(d), alive_plane], axis=0
     )  # (7, 8, C)
+
+    if use_brute:
+        # Ray-major brute kernel: original triangle order, accel ignored.
+        tt = orig_tris
+        flat = jnp.concatenate(
+            [
+                tt.a[:n_live_t],
+                tt.b[:n_live_t] - tt.a[:n_live_t],
+                tt.c[:n_live_t] - tt.a[:n_live_t],
+                tt.normal[:n_live_t],
+            ],
+            axis=1,
+        ).reshape(-1)  # (12 * n_live,) — A, AB, AC, N per triangle
+        prog_alive = jnp.max(
+            (rays_planes[6] > 0.0)
+            .reshape(RAY_SUBLANES, n_programs, COLS_PER_PROGRAM)
+            .astype(jnp.int32),
+            axis=(0, 2),
+        )
+        dst, idx = _search_padded_brute(
+            prog_alive, flat, rays_planes[:6], n_live=n_live_t,
+            interpret=interpret,
+        )
+        dst = dst.T.reshape(r_padded)[:r]
+        idx = idx.T.reshape(r_padded)[:r]
+        if alive is not None:
+            # The brute kernel skips only whole dead PROGRAMS; individual
+            # dead lanes still compute. The packet kernels report misses for
+            # dead lanes (their ranges are alive-masked) — match that here
+            # so the early-exit/sharding bit-exact invariants hold.
+            dst = jnp.where(alive, dst, MISS_DST)
+            idx = jnp.where(alive, idx, -1)
+        return dst, idx
 
     # Per-column (8-ray packet) hitting-block ranges, computed vectorized
     # here (XLA) and passed to the kernel as SMEM scalars — see

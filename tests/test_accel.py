@@ -178,6 +178,71 @@ def test_bitmask_cull_multiword_scene():
     assert int((np.asarray(i_bm) >= 0).sum()) > 20  # scene actually hit
 
 
+def test_brute_kernel_small_scene_matches_packet():
+    """Scenes with <= BRUTE_MAX_TRIS live triangles auto-dispatch to the
+    ray-major brute kernel (triangles as SMEM scalars broadcast over whole
+    ray tiles). Its results — including C scan-order tie semantics and
+    dead-lane misses — must match both packet kernels and the XLA search
+    exactly."""
+    import numpy as np
+
+    from raytracingc_tpu.ops.intersect import _search_triangles_xla
+    from raytracingc_tpu.ops.intersect_pallas import (
+        BRUTE_MAX_TRIS,
+        search_triangles_pallas,
+    )
+    from raytracingc_tpu.scene.builder import triangles_from_arrays
+    from raytracingc_tpu.scene.types import MISS_DST, Scene, Spheres
+
+    rng = np.random.default_rng(3)
+    t = 50
+    assert t <= BRUTE_MAX_TRIS
+    centers = rng.uniform(-6, 6, size=(t, 3)).astype(np.float32)
+    centers[:, 2] += 10.0
+    e1 = rng.normal(size=(t, 3)).astype(np.float32) * 2.0
+    e2 = rng.normal(size=(t, 3)).astype(np.float32) * 2.0
+    verts = np.stack([centers, centers + e1, centers + e2], axis=1)
+    normals = np.cross(e1, e2)
+    normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True), 1e-9)
+    tris, n_live = triangles_from_arrays(
+        verts, normals, np.full((t, 3), 0.5, np.float32),
+        np.zeros(t, np.float32), np.zeros(t, np.float32))
+    scene = Scene.build(triangles=tris, spheres=Spheres.empty()).with_accel()
+    assert n_live == t
+
+    from raytracingc_tpu.camera import Camera, primary_rays
+
+    cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
+    o, d = primary_rays(cam, 24, 24)
+    # Auto dispatch (cull=None + small n_live) → brute kernel.
+    d_br, i_br = search_triangles_pallas(
+        o, d, scene.triangles, interpret=True, accel=scene.accel,
+        n_live=n_live)
+    d_bm, i_bm = search_triangles_pallas(
+        o, d, scene.triangles, interpret=True, accel=scene.accel,
+        cull="bitmask")
+    d_x, i_x = _search_triangles_xla(o, d, scene.triangles, chunk=128)
+    np.testing.assert_array_equal(np.asarray(i_br), np.asarray(i_bm))
+    np.testing.assert_array_equal(np.asarray(i_br), np.asarray(i_x))
+    # dst: same MT formula, but a DIFFERENT compiled program — XLA's FMA
+    # contraction is program-context dependent, so exact equality cannot be
+    # promised across kernels (see CLAUDE.md invariants); indices above ARE
+    # exact because both kernels order ties identically.
+    np.testing.assert_allclose(np.asarray(d_br), np.asarray(d_bm), rtol=1e-6)
+    assert int((np.asarray(i_br) >= 0).sum()) > 50  # scene actually hit
+
+    # Dead lanes must report misses (the packet kernels' contract): the
+    # brute kernel only skips whole dead programs, so the wrapper masks.
+    alive = np.asarray(rng.uniform(size=o.shape[0]) > 0.5)
+    d_a, i_a = search_triangles_pallas(
+        o, d, scene.triangles, interpret=True, accel=scene.accel,
+        n_live=n_live, alive=jnp.asarray(alive))
+    np.testing.assert_array_equal(np.asarray(i_a)[~alive], -1)
+    np.testing.assert_array_equal(np.asarray(d_a)[~alive], MISS_DST)
+    np.testing.assert_array_equal(np.asarray(i_a)[alive],
+                                  np.asarray(i_br)[alive])
+
+
 def test_bitmask_cull_falls_back_for_many_blocks():
     """Past 8 mask words (~32k triangles) the bitmask kernel would unroll
     excessively; search_triangles_pallas must silently use the bounded range
