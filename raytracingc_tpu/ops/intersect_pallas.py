@@ -301,6 +301,10 @@ def _search_padded(alive_flags, first, last, rays_planes, tris_packed,
 # ----------------------------------------------------------------------------
 
 BRUTE_MAX_TRIS = 256
+# Static unroll budget: up to this many MT tests are fully unrolled (each
+# with immediate SMEM offsets); beyond it a fori_loop with dynamic SMEM
+# scalar reads keeps the Mosaic program size bounded.
+BRUTE_UNROLL_TRIS = 256
 
 
 def _search_kernel_brute(
@@ -323,9 +327,8 @@ def _search_kernel_brute(
     def _run():
         ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
         dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
-        best_d = jnp.full(shape, MISS_DST, jnp.float32)
-        best_i = jnp.full(shape, -1, jnp.int32)
-        for j in range(n_live):  # static unroll; n_live <= BRUTE_MAX_TRIS
+
+        def one_triangle(j, best_d, best_i):
             b = 12 * j
             ax, ay, az = tri_ref[b + 0], tri_ref[b + 1], tri_ref[b + 2]
             abx, aby, abz = tri_ref[b + 3], tri_ref[b + 4], tri_ref[b + 5]
@@ -361,6 +364,20 @@ def _search_kernel_brute(
             take = dst < best_d  # strict <: original order = C scan order
             best_d = jnp.where(take, dst, best_d)
             best_i = jnp.where(take, jnp.int32(j), best_i)
+            return best_d, best_i
+
+        init = (
+            jnp.full(shape, MISS_DST, jnp.float32),
+            jnp.full(shape, -1, jnp.int32),
+        )
+        if n_live <= BRUTE_UNROLL_TRIS:  # immediate SMEM offsets
+            best_d, best_i = init
+            for j in range(n_live):
+                best_d, best_i = one_triangle(j, best_d, best_i)
+        else:  # dynamic SMEM scalar reads, bounded program size
+            best_d, best_i = jax.lax.fori_loop(
+                0, n_live, lambda j, c: one_triangle(j, *c), init
+            )
         dst_ref[:, :] = best_d
         idx_ref[:, :] = best_i
 
@@ -706,10 +723,10 @@ def search_triangles_pallas(
     results either way; ``None`` reads ``RTC_CULL`` (default ``"bitmask"``,
     the measured winner: 15.68M vs 14.52M rays/s on the suzannes bench).
     """
+    import os
+
     auto_cull = cull is None
     if cull is None:
-        import os
-
         cull = os.environ.get("RTC_CULL", "bitmask")
     assert cull in ("range", "bitmask"), cull
     if interpret is None:
@@ -718,7 +735,14 @@ def search_triangles_pallas(
     n_live_t = int(n_live) if n_live is not None else tris.a.shape[0]
     # Ray-major brute dispatch only in auto mode: an EXPLICIT cull= request
     # (A/B tests, RTC_CULL debugging) gets the packet kernel it asked for.
-    use_brute = auto_cull and n_live_t <= BRUTE_MAX_TRIS
+    # RTC_BRUTE_MAX raises/lowers the auto threshold: measured on one v5e,
+    # the brute kernel still wins DENSE (closed-box) scenes 2x at 504
+    # triangles and 1.64x at 1134, and only ties sparse ones — but the
+    # packet kernel's cull advantage grows with resolution x triangle
+    # count, so the conservative default covers just the <= 2-block scenes
+    # where it can't lose (see BASELINE.md crossover table).
+    brute_max = int(os.environ.get("RTC_BRUTE_MAX", BRUTE_MAX_TRIS))
+    use_brute = auto_cull and n_live_t <= brute_max
     if accel is None:
         accel = trivial_accel(tris)
     if cull == "bitmask":
