@@ -332,22 +332,29 @@ def trace_accumulate(
     return acc / jnp.float32(spp), total
 
 
-def _alive_front_perm(mask: jax.Array) -> jax.Array:
-    """Stable front-packing permutation: True lanes first, original order.
+def _front_pack(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Stable front-packing permutation and its inverse.
 
     ``perm[j]`` is the index of the j-th True lane for ``j < sum(mask)``,
-    then the False lanes in order — argsort-free via prefix sums. The same
-    idiom serves the tier-cascade transitions and the hit-front selection;
-    both compaction bit-identity arguments rest on this being stable.
+    then the False lanes in order — argsort-free via prefix sums; ``dest``
+    is the inverse (``dest[i]`` = lane ``i``'s packed slot). The same idiom
+    serves the tier-cascade transitions and the hit-front selection; both
+    compaction bit-identity arguments rest on this being stable.
     """
     n = mask.shape[0]
     n_true = jnp.sum(mask.astype(jnp.int32))
     posi = jnp.cumsum(mask.astype(jnp.int32)) - 1
     negi = jnp.cumsum((~mask).astype(jnp.int32)) - 1 + n_true
     dest = jnp.where(mask, posi, negi)
-    return jnp.zeros((n,), jnp.int32).at[dest].set(
+    perm = jnp.zeros((n,), jnp.int32).at[dest].set(
         jnp.arange(n, dtype=jnp.int32)
     )
+    return perm, dest
+
+
+def _alive_front_perm(mask: jax.Array) -> jax.Array:
+    """Front-packing permutation only (see :func:`_front_pack`)."""
+    return _front_pack(mask)[0]
 
 
 def _hit_front_accumulate(
@@ -452,7 +459,8 @@ def _hit_front_accumulate(
     def make_compact_branch(k0):
         def compact_branch(_):
             # Hit-front permutation, built ONCE per chunk.
-            sel0 = _alive_front_perm(hitm)[:k0]
+            perm, dest = _front_pack(hitm)
+            sel0 = perm[:k0]
             lanes = jnp.arange(k0, dtype=jnp.int32) < n_hit  # valid slots
 
             g = lambda x: jnp.take(x, sel0, axis=0)
@@ -460,9 +468,17 @@ def _hit_front_accumulate(
                 g(hit0.point), g(hit0.normal), g(hit0.albedo),
                 g(hit0.smoothness), g(dirs), g(ray_ids), lanes, k0,
             )
-            acc = light0 * jnp.float32(spp)
-            acc = acc.at[sel0].add(jnp.where(lanes[:, None], acc_c, 0.0))
-            return acc, total + count0
+            # Map-back as a GATHER by the inverse permutation, not a
+            # scatter-add: TPU scatters serialize (~600 us per 64k chunk
+            # measured; the gather is ~10x cheaper). Non-hit lanes read
+            # masked zeros (slots [n_hit, k0)) or the zero padding
+            # (slots >= k0) — adding 0.0 matches the old "never touched"
+            # semantics bitwise for the non-negative radiance values here.
+            acc_c = jnp.where(lanes[:, None], acc_c, 0.0)
+            contrib = jnp.concatenate(
+                [acc_c, jnp.zeros((r - k0, 3), jnp.float32)], axis=0
+            )[dest]
+            return light0 * jnp.float32(spp) + contrib, total + count0
 
         return compact_branch
 
