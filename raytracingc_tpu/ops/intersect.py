@@ -132,7 +132,9 @@ def _search_triangles_xla(o, d, tris: Triangles, chunk: int = 512):
         )  # [R, chunk]
         dst = jnp.where(valid, dst, MISS_DST)
         j = jnp.argmin(dst, axis=1)
-        dmin = jnp.take_along_axis(dst, j[:, None], axis=1)[:, 0]
+        # min == dst[argmin] for NaN-free data; the lane-axis
+        # take_along_axis gather it replaces serializes on TPU.
+        dmin = jnp.min(dst, axis=1)
         better = dmin < best_dst  # strict < keeps the earlier (lower) index
         best_dst = jnp.where(better, dmin, best_dst)
         best_idx = jnp.where(better, base + j.astype(jnp.int32), best_idx)
@@ -155,7 +157,11 @@ def _search_spheres(o, d, spheres: Spheres):
     )
     dst = jnp.where(valid, dst, MISS_DST)
     idx = jnp.argmin(dst, axis=1).astype(jnp.int32)
-    dmin = jnp.take_along_axis(dst, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+    # min == dst[argmin] for NaN-free data. The take_along_axis it replaces
+    # is a LANE-axis gather that serializes on TPU: it measured 135 us per
+    # 16k-ray bounce — 48% of the whole dense-regime render (this runs every
+    # bounce of every sample in default triangles.txt + sphere mode).
+    dmin = jnp.min(dst, axis=1)
     return dmin, jnp.where(dmin < MISS_DST, idx, -1)
 
 
