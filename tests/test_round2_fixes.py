@@ -296,3 +296,79 @@ def test_fit_scene_mesh_material_training_keeps_accel():
     )
     assert fitted.accel is not None
     assert len(losses) == 1 and np.isfinite(losses[0])
+
+
+def test_onehot_resolve_matches_gather():
+    """resolve_hit uses a one-hot MXU matmul instead of a row-gather for
+    tables of <= 256 rows (bitwise-equal on hardware, see BASELINE.md).
+    Pin both code paths against each other by padding the same scene past
+    the threshold."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracingc_tpu.camera import Camera, primary_rays
+    from raytracingc_tpu.ops.intersect import nearest_hit, resolve_hit
+    from raytracingc_tpu.scene.builder import scene_from_triangles_txt
+
+    scene = scene_from_triangles_txt("/root/reference/triangles.txt")
+    assert scene.triangles.a.shape[0] <= 256  # one-hot path
+
+    cam = Camera.look_at()
+    o, d = primary_rays(cam, 24, 24)
+    ref = nearest_hit(o, d, scene, backend="xla")
+    hit_small = resolve_hit(o, d, ref, scene)
+
+    # Same geometry, padded past the one-hot threshold -> gather path.
+    tr = scene.triangles
+    pad = 512 - tr.a.shape[0]
+    pz3 = jnp.zeros((pad, 3), jnp.float32)
+    pz1 = jnp.zeros((pad,), jnp.float32)
+    tr_big = tr.replace(
+        a=jnp.concatenate([tr.a, pz3]), b=jnp.concatenate([tr.b, pz3]),
+        c=jnp.concatenate([tr.c, pz3]),
+        normal=jnp.concatenate([tr.normal, pz3]),
+        albedo=jnp.concatenate([tr.albedo, pz3]),
+        emission=jnp.concatenate([tr.emission, pz1]),
+        smoothness=jnp.concatenate([tr.smoothness, pz1]),
+    )
+    scene_big = scene.replace(triangles=tr_big, accel=None)
+    hit_big = resolve_hit(o, d, ref, scene_big)
+    for field in ("dst", "point", "normal", "albedo", "emission", "smoothness"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(hit_small, field)),
+            np.asarray(getattr(hit_big, field)), err_msg=field)
+
+
+def test_brute_fori_loop_matches_unrolled(monkeypatch):
+    """Past BRUTE_UNROLL_TRIS the brute kernel switches to a fori_loop with
+    dynamic SMEM scalar reads; force that path and pin it against the
+    XLA search."""
+    import numpy as np
+
+    import raytracingc_tpu.ops.intersect_pallas as ip
+    from raytracingc_tpu.camera import Camera, primary_rays
+    from raytracingc_tpu.ops.intersect import _search_triangles_xla
+    from raytracingc_tpu.scene.builder import triangles_from_arrays
+
+    monkeypatch.setattr(ip, "BRUTE_UNROLL_TRIS", 0)
+
+    rng = np.random.default_rng(5)
+    t = 40
+    centers = rng.uniform(-6, 6, size=(t, 3)).astype(np.float32)
+    centers[:, 2] += 10.0
+    e1 = rng.normal(size=(t, 3)).astype(np.float32) * 2.0
+    e2 = rng.normal(size=(t, 3)).astype(np.float32) * 2.0
+    verts = np.stack([centers, centers + e1, centers + e2], axis=1)
+    normals = np.cross(e1, e2)
+    normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True), 1e-9)
+    tris, n_live = triangles_from_arrays(
+        verts, normals, np.full((t, 3), 0.5, np.float32),
+        np.zeros(t, np.float32), np.zeros(t, np.float32))
+
+    cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
+    o, d = primary_rays(cam, 16, 16)
+    d_br, i_br = ip.search_triangles_pallas(
+        o, d, tris, interpret=True, n_live=n_live)
+    d_x, i_x = _search_triangles_xla(o, d, tris, chunk=128)
+    np.testing.assert_array_equal(np.asarray(i_br), np.asarray(i_x))
+    assert int((np.asarray(i_br) >= 0).sum()) > 20
