@@ -59,6 +59,13 @@ def render_progressive(
     preemption-safe (with ``shard_strategy="samples"``, ``batch_spp`` must be
     a multiple of the mesh's ``spp`` dimension).
     """
+    if mesh is None and shard_strategy is None:
+        # Pin the scene/camera on device once: every batch would otherwise
+        # re-upload the numpy leaves (network latency when the TPU sits
+        # behind a tunnel). The sharded path places them per its sharding.
+        scene = jax.device_put(scene)
+        camera = jax.device_put(camera)
+
     n_batches = (spp + batch_spp - 1) // batch_spp
     acc = jnp.zeros((height, width, 3), jnp.float32)
     count = jnp.zeros((), jnp.float32)
