@@ -40,6 +40,25 @@ def leaf_filter(trainable: Sequence[str]) -> Callable[[Any], Any]:
     return apply
 
 
+# keystr-format geometry leaf paths of the Scene pytree.
+_GEOM_LEAF_PATHS = (".triangles.a", ".triangles.b", ".triangles.c",
+                    ".triangles.normal")
+
+
+def is_geometry_trained(trainable: Sequence[str] | None) -> bool:
+    """Would ``leaf_filter(trainable)`` pass gradients to any geometry leaf?
+
+    Matches with the SAME forward substring rule ``leaf_filter`` applies
+    (pattern in full keystr leaf path). A bidirectional match would
+    misclassify trainable=["triangles.albedo"] as geometry training
+    ("triangles.a" is its prefix) and silently forfeit the accel-reuse
+    optimization for material-only runs (ADVICE r2).
+    """
+    return trainable is None or any(
+        t in g for t in trainable for g in _GEOM_LEAF_PATHS
+    )
+
+
 def fit_scene(
     scene: Scene,
     target: jax.Array,  # [H, W, 3] linear radiance
@@ -80,11 +99,7 @@ def fit_scene(
     # one — so the loss must run accel-free (live triangles) in that case;
     # the reattach-inside-the-loss optimization is only valid for
     # material/env-only training.
-    geom_keys = ("triangles.a", "triangles.b", "triangles.c",
-                 "triangles.normal")
-    geometry_trained = trainable is None or any(
-        t in g or g in t for t in trainable for g in geom_keys
-    )
+    geometry_trained = is_geometry_trained(trainable)
     accel = scene.accel
     loss_accel = None if geometry_trained else accel
     scene = scene.replace(accel=None)

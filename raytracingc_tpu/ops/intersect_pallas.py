@@ -593,6 +593,22 @@ def _search_padded_bitmask(col_counts, col_index, masks, rays_planes,
     return dst, idx
 
 
+def _bitmask_slice_bound(n_blocks: int) -> int:
+    """Max rays per direct bitmask-kernel call, scaled by mask words.
+
+    262144 was sized for the range kernel's 2 × (r/8) i32 SMEM footprint;
+    the bitmask path carries (n_words + 1) × (r/8) words instead, so the
+    bound shrinks by n_words to keep the same SMEM ceiling (ADVICE r2:
+    ~9× overshoot at 8 words otherwise). Always a positive multiple of the
+    1024-ray program size.
+    """
+    n_words = -(-n_blocks // BITS_PER_WORD)
+    per_program = RAY_SUBLANES * COLS_PER_PROGRAM
+    return max(
+        (262144 // max(n_words, 1)) // per_program * per_program, per_program
+    )
+
+
 def _slab_any_hit(lo, hi, o_p, inv_p, a_p):
     """AABB slab test: does any live lane of each packet hit each block?
 
@@ -754,10 +770,16 @@ def search_triangles_pallas(
         if -(-n_blocks_total // BITS_PER_WORD) > 8:
             cull = "range"
     r = o.shape[0]
-    # The per-column range arrays live whole in SMEM (r/8 i32 each); bound
-    # them by splitting very large direct calls into slices. The renderer's
-    # pixel chunking stays well under this.
-    max_rays = 262144
+    # The per-column SMEM arrays live whole in SMEM; bound them by splitting
+    # very large direct calls into slices. The renderer's pixel chunking
+    # stays well under this. 262144 was sized for the range kernel's
+    # 2 × (r/8) i32 footprint; the bitmask path carries (n_words + 1) × (r/8)
+    # words instead, so scale the bound down by n_words to keep the same
+    # SMEM ceiling (ADVICE r2: ~9× overshoot at 8 words otherwise).
+    if cull == "bitmask" and not use_brute:
+        max_rays = _bitmask_slice_bound(accel.aabb_lo.shape[0])
+    else:
+        max_rays = 262144
     if r > max_rays:
         outs = [
             search_triangles_pallas(

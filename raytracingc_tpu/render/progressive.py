@@ -65,6 +65,32 @@ def render_progressive(
         # behind a tunnel). The sharded path places them per its sharding.
         scene = jax.device_put(scene)
         camera = jax.device_put(camera)
+    else:
+        # Validate divisibility up front: with samples sharding, EVERY batch
+        # (including the final partial one, spp % batch_spp) must divide the
+        # mesh's spp dimension, or the last batch would trip the sharded
+        # renderer's assert after most of the render already completed.
+        strategy = shard_strategy or "pixels"
+        if mesh is not None:
+            spp_dim = mesh.shape.get("spp", 1)
+        elif strategy == "samples":
+            spp_dim = len(jax.devices())
+        elif strategy == "both":
+            n = len(jax.devices())
+            spp_dim = 2 if n % 2 == 0 and n > 1 else 1
+        else:
+            spp_dim = 1
+        if spp_dim > 1:
+            sizes = {min(batch_spp, spp - d) for d in range(0, spp, batch_spp)}
+            bad = sorted(b for b in sizes if b % spp_dim)
+            if bad:
+                raise ValueError(
+                    f"samples sharding over {spp_dim} devices needs every "
+                    f"batch divisible by {spp_dim}: got spp={spp}, "
+                    f"batch_spp={batch_spp} (offending batch sizes {bad}). "
+                    f"Pick batch_spp a multiple of {spp_dim} with "
+                    f"spp % batch_spp also a multiple, or shard by pixels."
+                )
 
     n_batches = (spp + batch_spp - 1) // batch_spp
     acc = jnp.zeros((height, width, 3), jnp.float32)

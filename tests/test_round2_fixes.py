@@ -273,8 +273,8 @@ def test_early_exit_render_is_chunking_invariant():
                           pixel_chunk=c)[0])
         for c in (1024, 2048, 7168)
     ]
-    np.testing.assert_allclose(imgs[0], imgs[1], rtol=0, atol=5e-7)
-    np.testing.assert_allclose(imgs[0], imgs[2], rtol=0, atol=5e-7)
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_array_equal(imgs[0], imgs[2])
 
 
 def test_fit_scene_mesh_material_training_keeps_accel():
