@@ -45,6 +45,13 @@ class TriangleAccel(struct.PyTreeNode):
     orig_idx: jax.Array  # int32 [T]
     aabb_lo: jax.Array  # f32 [B, 3]
     aabb_hi: jax.Array  # f32 [B, 3]
+    # Optional precomputed MT coefficient table for the MXU kernel
+    # (``ops/intersect_mxu.pack_coeffs_mxu``), built EAGERLY here so its bits
+    # are fixed once per scene — computing it inside a traced render makes
+    # the coefficients (hence distances) depend on XLA fusion context, which
+    # broke the exact chunking-invariance property. None on trivial accels
+    # (traced construction); the kernel falls back to in-trace packing then.
+    mxu_coeffs: jax.Array | None = None
 
 
 def _morton3(q: np.ndarray) -> np.ndarray:
@@ -107,11 +114,15 @@ def build_accel(tris: Triangles, n_live: int) -> TriangleAccel:
         lo_blocks[blk] = vs.min(axis=0)
         hi_blocks[blk] = vs.max(axis=0)
 
+    from raytracingc_tpu.ops.intersect_mxu import pack_coeffs_mxu
+
     return TriangleAccel(
         triangles=permuted,
         orig_idx=jax.numpy.asarray(orig),
         aabb_lo=jax.numpy.asarray(lo_blocks),
         aabb_hi=jax.numpy.asarray(hi_blocks),
+        # Eager (non-traced) build: bits fixed once per scene.
+        mxu_coeffs=pack_coeffs_mxu(permuted, jax.numpy.asarray(orig)),
     )
 
 

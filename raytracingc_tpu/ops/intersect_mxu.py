@@ -1,0 +1,308 @@
+"""MXU Möller–Trumbore search kernel: ray×triangle hit tests as matmuls.
+
+The VPU packet kernel (``intersect_pallas.py``) evaluates ~60 vector ops per
+8-ray×128-triangle tile — measured at the VPU floor on the tracked bench
+(the two search ``pallas_call``s were 153 of 229 ms device time at the end
+of round 2). This kernel moves the Möller–Trumbore algebra onto the MXU:
+
+Every MT quantity is **bilinear** in per-ray features and per-triangle
+coefficients (reference hot loop: ``raytracing.c:186-240``). With
+``s = o − A``, ``h = d × AC``, ``q = s × AB`` and the triple product
+``det3(x,y,z) = x·(y×z)``:
+
+* ``det = AB·h            = d · (AC×AB)``                       (linear in d)
+* ``dn  = d · N``             — backface-cull term, stored normal
+* ``u′  = s·h             = det3(o,d,AC) + d·(A×AC)``
+* ``v′  = d·q             = −det3(o,d,AB) + d·(AB×A)``
+* ``t′  = AC·q            = o·Ng − A·Ng``,  ``Ng = AB×AC``
+* ``det3(o,d,X)`` expands over the six monomials ``o_i d_j`` (i≠j) with
+  coefficients ``±X_k`` — so the full feature vector is
+  ``[1, o, d, oxdy, oxdz, oydx, oydz, ozdx, ozdy]`` (13 of 16 columns used).
+
+Per 128-triangle block the kernel computes ONE ``(768,16)@(16,R)`` matmul
+(6 quantity planes × 128 triangles against all R rays of the program) and a
+short VPU epilogue: the SAME guarded-division hit test as the VPU kernels
+(``u = u′/det`` etc., identical EPSILON semantics), a sublane argmin over the
+block's 128 triangles, and a lexicographic (dst, original index) merge into
+the running best. The 6th matmul plane carries the ORIGINAL triangle index
+as an f32 constant row — exact for indices < 2²⁴ and for the 2³⁰ padding
+sentinel — so C-scan-order tie-breaking survives without any in-kernel
+gather.
+
+Numerics: the matmul associates dot products differently from the VPU
+sequence (and ``t′ = o·Ng − A·Ng`` cancels where the VPU form subtracts
+``o − A`` first), so results agree with the packet kernels to ~1e-5
+relative rather than bitwise; winners can differ only where two distances
+collide within that noise. Per-lane results remain DETERMINISTIC and
+independent of chunking/compaction (matmul rows are independent), so the
+sharded == single-device and chunking-invariance properties still hold
+exactly for renders that use this kernel throughout.
+
+Culling runs at PROGRAM granularity: the per-packet AABB bitmask words
+(``intersect_pallas.packet_block_masks``) are OR-reduced over each program's
+128 packets and the kernel walks the union's set bits (same De Bruijn
+scalar walk as the packet bitmask kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracingc_tpu.ops.intersect_pallas import (
+    _DEBRUIJN,
+    _DEBRUIJN_TABLE,
+    BITS_PER_WORD,
+    COLS_PER_PROGRAM,
+    RAY_SUBLANES,
+    TRI_LANES,
+)
+from raytracingc_tpu.scene.types import EPSILON, MISS_DST, Triangles
+
+N_QUANT = 6  # det, dn, u', v', t', orig-index
+FEATS = 16  # 13 used + 3 zero padding (MXU-friendly width)
+ROWS_PER_BLOCK = N_QUANT * TRI_LANES  # 768 coefficient rows per block
+_BIG_F = float(2**30)  # f32-exact padding sentinel (a power of two)
+
+
+def pack_coeffs_mxu(tris: Triangles, orig_idx: jax.Array) -> jax.Array:
+    """Per-triangle MT coefficient table → ``(T*6, 16)`` f32, block-major.
+
+    Rows ``[j*768, (j+1)*768)`` belong to triangle block ``j``:
+    128 det rows, then 128 dn / u' / v' / t' / index rows. Padding
+    triangles (zero vertices) produce all-zero coefficient rows → det = 0 →
+    degenerate → never valid.
+    """
+    a = tris.a
+    ab = tris.b - a
+    ac = tris.c - a
+    n = tris.normal
+    ng = jnp.cross(ab, ac)
+    t = a.shape[0]
+    z1 = jnp.zeros((t, 1), jnp.float32)
+    z3 = jnp.zeros((t, 3), jnp.float32)
+    z6 = jnp.zeros((t, 6), jnp.float32)
+
+    def rows(c0, o3, d3, m6):
+        return jnp.concatenate([c0, o3, d3, m6, z3], axis=1)  # (T, 16)
+
+    def mono(x):
+        """det3(o,d,X) coefficients on [oxdy, oxdz, oydx, oydz, ozdx, ozdy]."""
+        return jnp.stack(
+            [x[:, 2], -x[:, 1], -x[:, 2], x[:, 0], x[:, 1], -x[:, 0]], axis=1
+        )
+
+    quant = jnp.stack(
+        [
+            rows(z1, z3, jnp.cross(ac, ab), z6),  # det
+            rows(z1, z3, n, z6),  # dn (stored normal — may differ from Ng)
+            rows(z1, z3, jnp.cross(a, ac), mono(ac)),  # u'
+            rows(z1, z3, jnp.cross(ab, a), -mono(ab)),  # v'
+            rows(-jnp.sum(a * ng, axis=1, keepdims=True), ng, z3, z6),  # t'
+            rows(
+                jnp.minimum(orig_idx, 2**30).astype(jnp.float32)[:, None],
+                z3, z3, z6,
+            ),  # original index as f32 (exact < 2^24; sentinel 2^30 exact)
+        ],
+        axis=0,
+    )  # (6, T, 16)
+    n_blocks = t // TRI_LANES
+    # (6, T, 16) → block-major (n_blocks, 6, 128, 16) → (T*6, 16)
+    quant = quant.reshape(N_QUANT, n_blocks, TRI_LANES, FEATS)
+    return quant.transpose(1, 0, 2, 3).reshape(t * N_QUANT, FEATS)
+
+
+def _build_features(rays_ref):
+    """(7, 8, COLS) ray planes → (16, R) feature matrix, lane = s*COLS + col."""
+    comps = []
+    for c in range(6):
+        comps.append(
+            jnp.concatenate(
+                [rays_ref[c, s : s + 1, :] for s in range(RAY_SUBLANES)],
+                axis=1,
+            )
+        )  # (1, R)
+    ox, oy, oz, dx, dy, dz = comps
+    one = jnp.ones_like(ox)
+    zero = jnp.zeros_like(ox)
+    return jnp.concatenate(
+        [
+            one, ox, oy, oz, dx, dy, dz,
+            ox * dy, ox * dz, oy * dx, oy * dz, oz * dx, oz * dy,
+            zero, zero, zero,
+        ],
+        axis=0,
+    )  # (16, R)
+
+
+def _mxu_block_test(feats, coef_ref, j, best_d, best_i, *, precision):
+    """One 128-triangle block against all R rays: matmul + epilogue.
+
+    ``best_d``/``best_i`` are ``(1, R)`` f32 running (distance, orig index)
+    carries; index rides in f32 (see module docstring).
+    """
+    r = feats.shape[1]
+    off = pl.multiple_of(j * ROWS_PER_BLOCK, ROWS_PER_BLOCK)
+    coef = coef_ref[pl.ds(off, ROWS_PER_BLOCK), :]  # (768, 16)
+    m = jax.lax.dot_general(
+        coef, feats, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (768, R)
+    det = m[0 * TRI_LANES : 1 * TRI_LANES]
+    dn = m[1 * TRI_LANES : 2 * TRI_LANES]
+    up = m[2 * TRI_LANES : 3 * TRI_LANES]
+    vp = m[3 * TRI_LANES : 4 * TRI_LANES]
+    tp = m[4 * TRI_LANES : 5 * TRI_LANES]
+    oif = m[5 * TRI_LANES : 6 * TRI_LANES]
+
+    # Identical hit-test semantics to the VPU kernels (raytracing.c:186-214):
+    # guarded division, same EPSILON tests, backface cull on the STORED normal.
+    degenerate = jnp.abs(det) < EPSILON
+    inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
+    u = up * inv_det
+    v = vp * inv_det
+    dst = tp * inv_det
+    valid = (
+        (dn < 0.0)
+        & ~degenerate
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (dst >= EPSILON)
+    )
+    dstm = jnp.where(valid, dst, MISS_DST)  # (128, R)
+
+    # Block argmin over the 128 triangle sublanes, ties toward the lowest
+    # original index (padding rows carry the 2^30 sentinel and lose).
+    oif = jnp.where(valid, oif, _BIG_F)
+    dmin = jnp.min(dstm, axis=0, keepdims=True)  # (1, R)
+    imin = jnp.min(jnp.where(dstm <= dmin, oif, _BIG_F), axis=0, keepdims=True)
+
+    take = (dmin < best_d) | ((dmin == best_d) & (imin < best_i))
+    best_d = jnp.where(take, dmin, best_d)
+    best_i = jnp.where(take, imin, best_i)
+    return best_d, best_i
+
+
+def _search_kernel_mxu(
+    alive_ref,  # (G,) i32 SMEM — per-program live/nonempty flags
+    words_ref,  # (G * n_words,) i32 SMEM — per-program union hit-bit words
+    deb_ref,  # (32,) i32 SMEM — De Bruijn bit-index table
+    rays_ref,  # (7, 8, COLS) f32 VMEM
+    coef_ref,  # (T*6, 16) f32 VMEM
+    dst_ref,  # (8, COLS) f32 out
+    idx_ref,  # (8, COLS) i32 out
+    *,
+    n_words: int,
+    precision,
+):
+    cols = dst_ref.shape[1]
+    r = RAY_SUBLANES * cols
+    dst_ref[:, :] = jnp.full((RAY_SUBLANES, cols), MISS_DST, jnp.float32)
+    idx_ref[:, :] = jnp.full((RAY_SUBLANES, cols), -1, jnp.int32)
+
+    pid = pl.program_id(0)
+
+    @pl.when(alive_ref[pid] != 0)
+    def _run():
+        feats = _build_features(rays_ref)
+
+        best = (
+            jnp.full((1, r), MISS_DST, jnp.float32),
+            jnp.full((1, r), _BIG_F, jnp.float32),
+        )
+        # Walk the union bitmask's set bits (same De Bruijn scalar walk as
+        # the packet bitmask kernel; n_words is static → unrolled).
+        for w in range(n_words):
+            m0 = words_ref[pid * n_words + w]
+            base = w * BITS_PER_WORD
+
+            def bit_body(carry, base=base):
+                m, bd, bi = carry
+                lsb = m & (-m)
+                j = deb_ref[((lsb * jnp.int32(_DEBRUIJN)) >> 27) & 31]
+                bd, bi = _mxu_block_test(
+                    feats, coef_ref, base + j, bd, bi, precision=precision
+                )
+                return (m & (m - 1), bd, bi)
+
+            m, bd, bi = jax.lax.while_loop(
+                lambda c: c[0] != 0, bit_body, (m0, *best)
+            )
+            best = (bd, bi)
+
+        best_d, best_if = best
+        best_i = jnp.where(
+            best_d < MISS_DST, best_if.astype(jnp.int32), -1
+        )  # (1, R)
+        # (1, R) lanes [s*COLS + col] → (8, COLS)[s, col] via static
+        # 128-aligned lane slices (ray id = col*8 + s, as in to_planes).
+        dst_ref[:, :] = jnp.concatenate(
+            [best_d[:, s * cols : (s + 1) * cols] for s in range(RAY_SUBLANES)],
+            axis=0,
+        )
+        idx_ref[:, :] = jnp.concatenate(
+            [best_i[:, s * cols : (s + 1) * cols] for s in range(RAY_SUBLANES)],
+            axis=0,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_words", "interpret", "precision")
+)
+def _search_padded_mxu(alive_flags, words, rays_planes, coeffs,
+                       n_words, interpret=False, precision="highest"):
+    n_cols = rays_planes.shape[2]
+    t6 = coeffs.shape[0]
+    grid = (n_cols // COLS_PER_PROGRAM,)
+    prec = jax.lax.Precision(precision)
+
+    kernel = functools.partial(
+        _search_kernel_mxu, n_words=n_words, precision=prec
+    )
+    dst, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G,) alive flags
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G * n_words,) words
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (32,) De Bruijn table
+            pl.BlockSpec(
+                (7, RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g: (0, 0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((t6, FEATS), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((RAY_SUBLANES, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((RAY_SUBLANES, n_cols), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ROWS_PER_BLOCK * FEATS * RAY_SUBLANES * n_cols
+            * (t6 // ROWS_PER_BLOCK),
+            bytes_accessed=(7 + 2) * RAY_SUBLANES * n_cols * 4 + t6 * FEATS * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(alive_flags, words,
+      jnp.asarray(_DEBRUIJN_TABLE, jnp.int32), rays_planes, coeffs)
+    return dst, idx

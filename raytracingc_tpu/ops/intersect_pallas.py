@@ -713,8 +713,16 @@ def search_triangles_pallas(
     accel: TriangleAccel | None = None,
     cull: str | None = None,
     n_live: int | None = None,
+    variant: str | None = None,
 ):
     """Closest-hit triangle search. Returns ``(best_dst [R], best_idx [R])``.
+
+    ``variant``: ``"auto"`` (measured dispatch: brute kernel for tiny
+    scenes, packet kernel otherwise), ``"packet"``/``"brute"`` to force
+    those, or ``"mxu"`` for the matmul Möller–Trumbore kernel
+    (``intersect_mxu.py`` — results within ~1e-5 of the VPU kernels, see
+    its module docstring). ``None`` reads ``RTC_KERNEL`` (default
+    ``"auto"``).
 
     ``n_live``: the live (unpadded) triangle count. Scenes with at most
     ``BRUTE_MAX_TRIS`` live triangles use the ray-major brute kernel
@@ -741,6 +749,9 @@ def search_triangles_pallas(
     """
     import os
 
+    if variant is None:
+        variant = os.environ.get("RTC_KERNEL", "auto")
+    assert variant in ("auto", "packet", "brute", "mxu"), variant
     auto_cull = cull is None
     if cull is None:
         cull = os.environ.get("RTC_CULL", "bitmask")
@@ -758,15 +769,23 @@ def search_triangles_pallas(
     # count, so the conservative default covers just the <= 2-block scenes
     # where it can't lose (see BASELINE.md crossover table).
     brute_max = int(os.environ.get("RTC_BRUTE_MAX", BRUTE_MAX_TRIS))
-    use_brute = auto_cull and n_live_t <= brute_max
+    use_brute = variant == "brute" or (
+        variant == "auto" and auto_cull and n_live_t <= brute_max
+    )
     if accel is None:
         accel = trivial_accel(tris)
+    n_blocks_total = accel.aabb_lo.shape[0]
+    use_mxu = variant == "mxu"
+    if use_mxu and -(-n_blocks_total // BITS_PER_WORD) > 8:
+        # The MXU kernel unrolls one bit-walk per union word like the
+        # bitmask kernel; very large scenes take the streaming path (TODO)
+        # or the range kernel meanwhile.
+        use_mxu = False
     if cull == "bitmask":
         # The bitmask kernel unrolls one bit-walk loop per 31-block word;
         # very large scenes would blow up Mosaic compile time and program
         # size. Past ~8 words (~32k triangles) fall back to the bounded
         # [first, last] range kernel, which handles any block count.
-        n_blocks_total = accel.aabb_lo.shape[0]
         if -(-n_blocks_total // BITS_PER_WORD) > 8:
             cull = "range"
     r = o.shape[0]
@@ -776,9 +795,11 @@ def search_triangles_pallas(
     # 2 × (r/8) i32 footprint; the bitmask path carries (n_words + 1) × (r/8)
     # words instead, so scale the bound down by n_words to keep the same
     # SMEM ceiling (ADVICE r2: ~9× overshoot at 8 words otherwise).
-    if cull == "bitmask" and not use_brute:
+    if cull == "bitmask" and not use_brute and not use_mxu:
         max_rays = _bitmask_slice_bound(accel.aabb_lo.shape[0])
     else:
+        # The brute kernel's SMEM is O(n_live); the MXU kernel's is
+        # O(G * n_words) — both far under the per-packet budgets.
         max_rays = 262144
     if r > max_rays:
         outs = [
@@ -791,6 +812,7 @@ def search_triangles_pallas(
                 accel=accel,
                 cull=None if auto_cull else cull,
                 n_live=n_live,
+                variant=variant,
             )
             for i in range(0, r, max_rays)
         ]
@@ -863,6 +885,50 @@ def search_triangles_pallas(
         jnp.pad(alive_f[:, 0], (0, r_padded - r))
         .reshape(cols_padded, 8) > 0.0
     )
+    if use_mxu:
+        from raytracingc_tpu.ops.intersect_mxu import (
+            _search_padded_mxu,
+            pack_coeffs_mxu,
+        )
+
+        # Program-level union culling: OR the per-packet hit words over each
+        # program's 128 packets; the kernel walks the union's set bits once
+        # for all 1024 rays (coarser than per-packet culling, but each block
+        # is then tested on the MXU for the whole program at once).
+        masks = packet_block_masks(o_p, d_p, a_p, accel)  # (C, n_words)
+        n_words = masks.shape[1]
+        words = jax.lax.reduce(
+            masks.reshape(n_programs, COLS_PER_PROGRAM, n_words),
+            jnp.int32(0), jax.lax.bitwise_or, (1,),
+        )  # (G, n_words)
+        alive_flags = jnp.max((words != 0).astype(jnp.int32), axis=1)
+        # Prefer the accel's eagerly-built coefficient table: its bits are
+        # fixed per scene, keeping results independent of the surrounding
+        # XLA program (chunking/sharding exactness). In-trace packing (the
+        # fallback for trivial/traced accels, e.g. geometry training) is
+        # fusion-context dependent at ~1 ulp.
+        coeffs = accel.mxu_coeffs
+        if coeffs is None:
+            coeffs = pack_coeffs_mxu(tris, accel.orig_idx)
+        # Precision is pinned to HIGHEST (6-pass bf16 decomposition): Mosaic's
+        # dot lowering rejects Precision.HIGH (3-pass), and DEFAULT (1-pass
+        # bf16) is far too coarse for EPSILON-scale hit tests. A manual
+        # hi/lo-bf16 3-pass split is the known future speed lever here.
+        dst, idx = _search_padded_mxu(
+            alive_flags, words.reshape(-1), rays_planes, coeffs,
+            n_words=n_words, interpret=interpret, precision="highest",
+        )
+        dst = dst.T.reshape(r_padded)[:r]
+        idx = idx.T.reshape(r_padded)[:r]
+        if alive is not None:
+            # Dead lanes inside live programs still compute (union culling is
+            # per program); report misses for them like the packet kernels'
+            # fully-dead packets do, so the early-exit/sharding bit-exact
+            # invariants hold.
+            dst = jnp.where(alive, dst, MISS_DST)
+            idx = jnp.where(alive, idx, -1)
+        return dst, idx
+
     tris_packed = pack_triangles(tris)
     orig_idx = accel.orig_idx.reshape(1, t)
 
