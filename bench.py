@@ -14,7 +14,20 @@ core: ≈1.0e6 traced rays/s). The reference publishes no numbers of its own
 Env overrides: BENCH_W, BENCH_H, BENCH_SPP, BENCH_BOUNCE, BENCH_SCENE,
 BENCH_BACKEND, BENCH_REPEATS, BENCH_CHUNK (pixel chunk), BENCH_COMPACT
 (0/1, default 1), BENCH_SAMPLE_BATCH (int or "auto"), RTC_CULL
-(bitmask|range).
+(bitmask|range), RTC_KERNEL (auto|packet|brute|mxu).
+
+Modes (VERDICT r2 items 2 and 5):
+
+* ``BENCH_MODE=train`` — times one inverse-rendering training step
+  (render → L2 loss → grads → adam update) in BOTH the geometry-trainable
+  (accel-free search) and material-only (accel reused) variants, plus the
+  matching forward render, and reports backward/forward ratios. Train
+  defaults are smaller (256², spp 2, 4 bounces) because the
+  geometry-trainable loss must run the brute accel-free search.
+* ``BENCH_SHARD=pixels|samples|both`` — routes the render through
+  ``render_sharded`` over all visible devices (measures shard_map overhead
+  on one chip; measures scaling on a pod with zero new code); the JSON
+  gains a ``mesh`` field.
 """
 
 from __future__ import annotations
@@ -31,6 +44,119 @@ REFERENCE_SCENE = "/root/reference/3Dmodels/suzannes.obj"
 # implies (BASELINE.md "Measured so far"). rays/s on this scene is
 # resolution-independent, so the 8x8 measurement anchors the 1080p bench.
 BASELINE_RAYS_PER_SEC = 3.1e5
+
+
+def _bench_train(scene, cam, scene_path: str, platform: str) -> int:
+    """BENCH_MODE=train: one inverse-rendering step, both trainability modes.
+
+    The training step is the same construction as ``fit_scene``'s inner
+    step (render with the differentiable fixed-length scan → L2 loss →
+    grads → adam update); geometry-trainable runs the loss accel-free
+    (``diff/optimize.py`` docs), material-only reuses the accel.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from raytracingc_tpu.camera import primary_rays
+    from raytracingc_tpu.diff.optimize import leaf_filter
+    from raytracingc_tpu.render.integrator import trace_accumulate
+    from raytracingc_tpu.render.renderer import render
+
+    # Train defaults are smaller: the geometry-trainable loss runs the
+    # accel-free brute search, and the backward sweep roughly doubles cost.
+    width = int(os.environ.get("BENCH_W", 256))
+    height = int(os.environ.get("BENCH_H", 256))
+    spp = int(os.environ.get("BENCH_SPP", 2))
+    max_bounce = int(os.environ.get("BENCH_BOUNCE", 4))
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+    repeats = int(os.environ.get("BENCH_REPEATS", 2))
+    if platform == "cpu":
+        width = height = 64
+        spp, max_bounce = 1, 2
+
+    origins, dirs = primary_rays(cam, width, height)
+    ray_ids = jnp.arange(width * height, dtype=jnp.uint32)
+    target, _ = render(scene, cam, width, height, spp=spp,
+                       max_bounce=max_bounce, seed=1, backend=backend)
+    target = target.reshape(-1, 3)
+    optimizer = optax.adam(1e-2)
+
+    def make_step(loss_accel, pfilter):
+        @jax.jit
+        def step(scene_p, opt_state):
+            def loss_fn(s):
+                radiance, count = trace_accumulate(
+                    origins, dirs, s.replace(accel=loss_accel), ray_ids,
+                    seed=0, spp=spp, max_bounce=max_bounce, backend=backend,
+                )
+                return jnp.mean((radiance - target) ** 2), count
+
+            (loss, count), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(scene_p)
+            if pfilter is not None:
+                grads = pfilter(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, scene_p)
+            scene_p = jax.tree_util.tree_map(
+                lambda p, u: p + u, scene_p, updates)
+            return scene_p, opt_state, loss, count
+
+        return step
+
+    accel = scene.accel
+    scene_p = scene.replace(accel=None)
+    opt_state = optimizer.init(scene_p)
+
+    def time_step(step):
+        s, o, loss, count = step(scene_p, opt_state)  # compile + warm
+        jax.block_until_ready(loss)
+        best = float("inf")
+        for _ in range(max(repeats, 1)):
+            t0 = time.time()
+            s, o, loss, count = step(scene_p, opt_state)
+            jax.block_until_ready(loss)
+            best = min(best, time.time() - t0)
+        return best, float(count)
+
+    geom_s, geom_rays = time_step(make_step(None, None))
+    mat_s, mat_rays = time_step(
+        make_step(accel, leaf_filter(["albedo", "emission", "smoothness",
+                                      "env"])))
+
+    # Forward-only anchor at the SAME config and integrator (the
+    # differentiable fixed-length scan, accel on) for honest fwd:bwd ratios.
+    fwd_fn = jax.jit(lambda: trace_accumulate(
+        origins, dirs, scene, ray_ids, seed=0, spp=spp,
+        max_bounce=max_bounce, backend=backend))
+    jax.block_until_ready(fwd_fn()[0])
+    fwd_s = float("inf")
+    for _ in range(max(repeats, 1)):
+        t0 = time.time()
+        r, fwd_rays = fwd_fn()
+        jax.block_until_ready(r)
+        fwd_s = min(fwd_s, time.time() - t0)
+    fwd_rays = float(fwd_rays)
+
+    result = {
+        "metric": f"train-step rays/s (geometry-trainable), "
+        f"{os.path.basename(scene_path)} {width}x{height} spp={spp} "
+        f"b={max_bounce} [{platform}]",
+        "value": round(geom_rays / geom_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(geom_rays / geom_s / BASELINE_RAYS_PER_SEC, 3),
+        "geom_step_s": round(geom_s, 4),
+        "material_step_s": round(mat_s, 4),
+        "material_rays_s": round(mat_rays / mat_s, 1),
+        "forward_scan_s": round(fwd_s, 4),
+        "forward_scan_rays_s": round(fwd_rays / fwd_s, 1),
+        "geom_over_forward": round(geom_s / fwd_s, 2),
+        "material_over_forward": round(mat_s / fwd_s, 2),
+        "repeats": repeats,
+        "ray_accounting": "logical (forward rays per step; backward sweep "
+        "included in the time)",
+    }
+    print(json.dumps(result))
+    return 0
 
 
 def main() -> int:
@@ -88,12 +214,39 @@ def main() -> int:
     scene = jax.device_put(scene)
     cam = jax.device_put(cam)
 
+    mode = os.environ.get("BENCH_MODE", "render")
+    if mode == "train":
+        return _bench_train(scene, cam, scene_path, platform)
+
+    shard = os.environ.get("BENCH_SHARD")
+    mesh = None
+    if shard:
+        from raytracingc_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        if shard == "pixels":
+            mesh = make_mesh(px=n, spp=1)
+        elif shard == "samples":
+            mesh = make_mesh(px=1, spp=n)
+        elif shard == "both":
+            spp_dim = 2 if n % 2 == 0 and n > 1 else 1
+            mesh = make_mesh(px=n // spp_dim, spp=spp_dim)
+        else:
+            raise SystemExit(f"unknown BENCH_SHARD={shard!r}")
+        from raytracingc_tpu.parallel.sharded import render_sharded
+
     def run():
-        img, count = render(
-            scene, cam, width, height, spp=spp, max_bounce=max_bounce,
-            seed=0, backend=backend, pixel_chunk=pixel_chunk, compact=compact,
-            sample_batch=sample_batch,
-        )
+        if mesh is not None:
+            img, count = render_sharded(
+                scene, cam, width, height, spp=spp, max_bounce=max_bounce,
+                seed=0, backend=backend, mesh=mesh,
+            )
+        else:
+            img, count = render(
+                scene, cam, width, height, spp=spp, max_bounce=max_bounce,
+                seed=0, backend=backend, pixel_chunk=pixel_chunk,
+                compact=compact, sample_batch=sample_batch,
+            )
         jax.block_until_ready(img)
         return float(count)
 
@@ -108,9 +261,10 @@ def main() -> int:
         best = min(best, time.time() - t0)
 
     rays_per_sec = count / best
+    shard_tag = f" shard={shard}" if shard else ""
     result = {
         "metric": f"traced rays/s, {os.path.basename(scene_path)} "
-        f"{width}x{height} spp={spp} b={max_bounce} [{platform}]",
+        f"{width}x{height} spp={spp} b={max_bounce}{shard_tag} [{platform}]",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
@@ -118,6 +272,7 @@ def main() -> int:
         "repeats": repeats,
         "compile_s": round(compile_s, 2),
         "backend": backend,
+        "mesh": dict(mesh.shape) if mesh is not None else None,
         "pixel_chunk": pixel_chunk,
         "compact": compact,
         "sample_batch": sample_batch,

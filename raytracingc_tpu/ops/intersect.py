@@ -117,8 +117,12 @@ def ray_sphere_dst(o, d, center, radius):
 def _search_triangles_xla(o, d, tris: Triangles, chunk: int = 512):
     """Running argmin over triangle chunks. Returns (best_dst, best_idx)."""
     t = tris.a.shape[0]
+    # Largest divisor of t that fits the requested chunk: padded counts are
+    # usually multiples of 128 (the accel block) but need not divide 512 —
+    # e.g. suzannes pads to 3968 = 31×128.
     chunk = min(chunk, t)
-    assert t % chunk == 0, "padded triangle count must divide the chunk size"
+    while t % chunk:
+        chunk -= 1
     n_chunks = t // chunk
 
     resh = lambda x: x.reshape(n_chunks, chunk, *x.shape[1:])
