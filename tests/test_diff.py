@@ -234,3 +234,23 @@ def test_vertex_geometry_recovery_end_to_end():
     losses, l1_0, l1_1 = inverse_vertices_main(steps=60)
     assert losses[-1] < 0.1 * losses[0], (losses[0], losses[-1])
     assert l1_1 < 0.25 * l1_0, (l1_0, l1_1)
+
+
+def test_camera_pose_recovery_end_to_end():
+    """VERDICT r2 item 4: perturb ``Camera.origin`` AND the view direction,
+    recover both by gradient descent through ``primary_rays`` + the look-at
+    basis (``fit_camera``). The bar is a >=4x pose-L2 drop (the measured
+    run recovers ~20x at 120 steps; the (origin, unit-view-direction)
+    parameterization matters — see ``examples/inverse_camera.py``).
+    """
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    try:
+        from inverse_camera import main as inverse_camera_main
+    finally:
+        sys.path.pop(0)
+
+    losses, e0, e1 = inverse_camera_main(steps=120)
+    assert losses[-1] < 0.2 * losses[0], (losses[0], losses[-1])
+    assert e1 < 0.25 * e0, (e0, e1)  # >=4x pose recovery
