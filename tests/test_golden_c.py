@@ -80,18 +80,43 @@ def test_simplest_obj_matches_c(c_renderer, models_dir):
 
 
 def test_default_mode_matches_c(c_renderer, reference_dir):
-    """triangles.txt Cornell box + sphere, emissive ceiling, indirect light."""
-    w = h = 16
-    c_img = _c_render(c_renderer, ["-s", str(w), str(h), "-b", "4"])
-    scene = scene_from_triangles_txt(os.path.join(reference_dir, "triangles.txt"))
-    ours = _our_render(scene, w, h, spp=512, bounces=4)
+    """triangles.txt Cornell box + sphere, emissive ceiling, indirect light.
 
-    assert abs(ours.mean() - c_img.mean()) < 0.02, (ours.mean(), c_img.mean())
-    # Per-pixel agreement within MC noise (indirect-heavy scene → wider band).
-    assert np.percentile(np.abs(ours - c_img), 95) < 0.13
+    The C side renders a fixed 4000 spp per run, but its racy global RNG
+    gives every run an independent stream — averaging 8 runs cuts the C-side
+    Monte-Carlo noise ~2.8× (measured: single-vs-single p95 0.047,
+    4-avg-vs-4-avg 0.020), which with spp=2048 on our side tightens the
+    95th-percentile band from the old 0.13 to ≤0.06 (measured 0.038)."""
+    w = h = 16
+    c_img = np.mean(
+        [_c_render(c_renderer, ["-s", str(w), str(h), "-b", "4"],
+                   out=f"c_def{i}.bmp") for i in range(8)],
+        axis=0,
+    )
+    scene = scene_from_triangles_txt(os.path.join(reference_dir, "triangles.txt"))
+    ours = _our_render(scene, w, h, spp=2048, bounces=4)
+
+    assert abs(ours.mean() - c_img.mean()) < 0.01, (ours.mean(), c_img.mean())
+    # Per-pixel agreement within MC noise (indirect-heavy scene).
+    assert np.percentile(np.abs(ours - c_img), 95) < 0.06
     # Structural agreement: pixelwise correlation of the two estimates.
     c = np.corrcoef(ours.reshape(-1), c_img.reshape(-1))[0, 1]
-    assert c > 0.95, c
+    assert c > 0.98, c
+
+    # The sphere's highlight — the one feature only this golden covers
+    # (sphere+triangle interplay): the diffuse sphere (center (0,1,0) r=2.5,
+    # ``scene.h:17-19``) fills the bottom rows as a ~0.67-luminance plateau,
+    # with the emissive ceiling's reflection as a bright patch (>0.85) at
+    # rows 12-14. Both renders must show the patch, in the SAME pixels.
+    lum_ours = ours.mean(-1)[12:16]
+    lum_c = c_img.mean(-1)[12:16]
+    for lum in (lum_ours, lum_c):
+        assert lum.max() - np.median(lum) > 0.2, (lum.max(), np.median(lum))
+    m_ours, m_c = lum_ours > 0.85, lum_c > 0.85
+    overlap = (m_ours & m_c).sum()
+    assert overlap >= 3, (m_ours.sum(), m_c.sum(), overlap)
+    # and the masks agree almost everywhere (≤2 disputed boundary pixels).
+    assert (m_ours ^ m_c).sum() <= 2, (m_ours ^ m_c).sum()
 
 
 def test_camera_flags_match_c(c_renderer, models_dir):
