@@ -286,6 +286,182 @@ def _search_padded(alive_flags, first, last, rays_planes, tris_packed,
 
 
 # ----------------------------------------------------------------------------
+# Tile-STREAMED range kernel: huge scenes, O(tile) VMEM instead of O(T).
+#
+# The resident kernels hold the whole (12, T) triangle plane in VMEM — a
+# hard ceiling near ~130k triangles on a v5e (SURVEY §7's "block-streaming
+# for ultracomplex-scale future scenes"; VERDICT r2 item 3). Here the grid
+# gains a minor triangle-tile dimension: program (g, t) DMAs only tile t's
+# (12, TILE) plane (Pallas double-buffers tiles across consecutive grid
+# steps), clips each column's PRECOMPUTED global [first, last] hitting-block
+# range to the tile — no extra SMEM over the resident range kernel — and
+# lex-merges (dst, original idx) into the revisited output block. The merge
+# is exact: per-block MT results are bitwise identical to the resident
+# kernel's (same _mt_block_test on the same inputs), and min over a
+# partition of the scan order is min over the whole order, so results stay
+# bit-identical to the resident range kernel (tested, incl. C-order ties).
+# ----------------------------------------------------------------------------
+
+# Triangles per streamed tile. 16384 → a 768 KiB (12, TILE) f32 plane; with
+# Pallas's automatic double-buffering the kernel's triangle VMEM is ~1.5 MiB
+# regardless of scene size.
+STREAM_TILE = 16384
+# Largest padded triangle count served by the VMEM-resident kernels: 65536
+# is a 3 MiB plane (fetched once — the constant index map is not
+# re-DMA'd per grid step). Above it, stream. Override: RTC_STREAM_MAX_T.
+STREAM_MAX_RESIDENT_T = 65536
+
+
+def _search_kernel_streamed(
+    alive_ref,  # (G * n_tiles,) i32 SMEM — per-(program, tile) activity
+    first_ref,  # (C,) i32 SMEM — per-column first hitting block (GLOBAL id)
+    last_ref,  # (C,) i32 SMEM — per-column last hitting block (GLOBAL id)
+    rays_ref,  # (7, 8, COLS) f32 VMEM
+    tris_ref,  # (12, TILE) f32 VMEM — THIS TILE's triangle plane
+    oidx_ref,  # (1, TILE) i32 VMEM
+    dst_ref,  # (8, COLS) f32 out — revisited across the tile grid dim
+    idx_ref,  # (8, COLS) i32 out — revisited across the tile grid dim
+    *,
+    blocks_per_tile: int,
+    n_tiles: int,
+):
+    cols = dst_ref.shape[1]
+    shape = (RAY_SUBLANES, cols)
+    pid = pl.program_id(0)
+    tid = pl.program_id(1)
+    col_base = pid * cols
+
+    # The tile dim is minor: for each program, tid==0 runs first and must
+    # initialize the revisited output block (Pallas outputs start undefined).
+    @pl.when(tid == 0)
+    def _init():
+        dst_ref[:, :] = jnp.full(shape, MISS_DST, jnp.float32)
+        idx_ref[:, :] = jnp.full(shape, -1, jnp.int32)
+
+    @pl.when(alive_ref[pid * n_tiles + tid] != 0)
+    def _run():
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        ray_tiles = tuple(rays_ref[k] for k in range(6))
+        tile_base = tid * blocks_per_tile
+
+        def per_column(i, acc):
+            acc_d, acc_i = acc
+            col_mask = col_iota == i
+            ray = _extract_column(ray_tiles, col_mask)
+
+            # Clip the global range to this tile. Empty global ranges have
+            # first == _BIG_I32 → lfirst >= lend → the loop body never runs.
+            lfirst = jnp.maximum(first_ref[col_base + i] - tile_base, 0)
+            lend = jnp.minimum(
+                last_ref[col_base + i] - tile_base + 1, blocks_per_tile
+            )
+
+            def per_tri_chunk(j, carry):
+                return _mt_block_test(ray, tris_ref, oidx_ref, j, *carry)
+
+            init = (
+                jnp.full((RAY_SUBLANES, TRI_LANES), MISS_DST, jnp.float32),
+                jnp.full((RAY_SUBLANES, TRI_LANES), _BIG_I32, jnp.int32),
+            )
+            best_d, best_i = jax.lax.fori_loop(
+                lfirst, lend, per_tri_chunk, init
+            )
+            dmin, imin = _column_argmin(best_d, best_i)
+            acc_d = jnp.where(col_mask, dmin, acc_d)
+            acc_i = jnp.where(col_mask, imin, acc_i)
+            return acc_d, acc_i
+
+        init = (
+            jnp.full(shape, MISS_DST, jnp.float32),
+            jnp.full(shape, -1, jnp.int32),
+        )
+        acc_d, acc_i = jax.lax.fori_loop(0, cols, per_column, init)
+
+        # Lex-merge this tile's result into the running best. Equal-distance
+        # REAL hits take the lower original index (the C scan order across
+        # tiles); misses are (MISS_DST, -1) on both sides, where the
+        # acc_i >= 0 guard keeps the merge a no-op.
+        cur_d = dst_ref[:, :]
+        cur_i = idx_ref[:, :]
+        take = (acc_d < cur_d) | (
+            (acc_d == cur_d) & (acc_i >= 0) & (acc_i < cur_i)
+        )
+        dst_ref[:, :] = jnp.where(take, acc_d, cur_d)
+        idx_ref[:, :] = jnp.where(take, acc_i, cur_i)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _search_padded_streamed(alive_flags, first, last, rays_planes,
+                            tris_packed, orig_idx, tile, interpret=False):
+    n_cols = rays_planes.shape[2]
+    t = tris_packed.shape[1]
+    assert t % tile == 0 and tile % TRI_LANES == 0
+    n_tiles = t // tile
+    grid = (n_cols // COLS_PER_PROGRAM, n_tiles)
+
+    kernel = functools.partial(
+        _search_kernel_streamed,
+        blocks_per_tile=tile // TRI_LANES,
+        n_tiles=n_tiles,
+    )
+    dst, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G * n_tiles,) activity
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (C,) first blocks
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (C,) last blocks
+            pl.BlockSpec(
+                (7, RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g, tt: (0, 0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((12, tile), lambda g, tt: (0, tt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda g, tt: (0, tt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g, tt: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g, tt: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((RAY_SUBLANES, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((RAY_SUBLANES, n_cols), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * RAY_SUBLANES * n_cols * t,
+            bytes_accessed=(6 * RAY_SUBLANES + 2 * RAY_SUBLANES) * n_cols * 4
+            + 13 * t * 4 * (n_cols // COLS_PER_PROGRAM),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(alive_flags, first, last, rays_planes, tris_packed, orig_idx)
+    return dst, idx
+
+
+def _stream_tile_pad(tris_packed, orig_idx, tile):
+    """Pad the packed plane/index to a tile multiple (zero triangles are
+    degenerate → never valid; padded blocks are also outside every global
+    range, so they are never even scanned — the pad only squares the DMA)."""
+    t = tris_packed.shape[1]
+    t_pad = _round_up(t, tile)
+    if t_pad != t:
+        tris_packed = jnp.pad(tris_packed, ((0, 0), (0, t_pad - t)))
+        orig_idx = jnp.pad(orig_idx, ((0, 0), (0, t_pad - t)),
+                           constant_values=_BIG_I32)
+    return tris_packed, orig_idx
+
+
+# ----------------------------------------------------------------------------
 # Ray-major brute kernel for TINY scenes (<= 2 blocks / 256 triangles).
 #
 # The packet architecture's per-column cost (~50 vector ops for the masked
@@ -951,15 +1127,46 @@ def search_triangles_pallas(
     else:
         first, last = packet_block_ranges(o_p, d_p, a_p, accel)
 
-        # A program can be skipped when EVERY column's range is empty (covers
-        # both dead lanes and packets that miss the whole scene).
-        nonempty = (first <= last).reshape(n_programs, COLS_PER_PROGRAM)
-        alive_flags = jnp.max(nonempty.astype(jnp.int32), axis=1)
-
-        dst, idx = _search_padded(
-            alive_flags, first, last, rays_planes, tris_packed, orig_idx,
-            interpret=interpret,
+        stream_max_t = int(
+            os.environ.get("RTC_STREAM_MAX_T", STREAM_MAX_RESIDENT_T)
         )
+        if t > stream_max_t:
+            # Tile-streamed kernel: O(tile) triangle VMEM (VERDICT r2
+            # item 3). Per-(program, tile) activity flags let whole DMA+scan
+            # steps skip when no column's range touches the tile.
+            tile = int(os.environ.get("RTC_STREAM_TILE", STREAM_TILE))
+            tile = min(_round_up(tile, TRI_LANES), _round_up(t, TRI_LANES))
+            tris_packed, orig_idx = _stream_tile_pad(
+                tris_packed, orig_idx, tile
+            )
+            n_tiles = tris_packed.shape[1] // tile
+            bpt = tile // TRI_LANES
+            tids = jnp.arange(n_tiles, dtype=jnp.int32)
+            act = (
+                (first[:, None] <= last[:, None])
+                & (first[:, None] <= (tids[None, :] + 1) * bpt - 1)
+                & (last[:, None] >= tids[None, :] * bpt)
+            )  # (C, n_tiles)
+            alive_flags = (
+                act.reshape(n_programs, COLS_PER_PROGRAM, n_tiles)
+                .any(axis=1)
+                .astype(jnp.int32)
+                .reshape(-1)
+            )
+            dst, idx = _search_padded_streamed(
+                alive_flags, first, last, rays_planes, tris_packed,
+                orig_idx, tile=tile, interpret=interpret,
+            )
+        else:
+            # A program can be skipped when EVERY column's range is empty
+            # (covers dead lanes and packets that miss the whole scene).
+            nonempty = (first <= last).reshape(n_programs, COLS_PER_PROGRAM)
+            alive_flags = jnp.max(nonempty.astype(jnp.int32), axis=1)
+
+            dst, idx = _search_padded(
+                alive_flags, first, last, rays_planes, tris_packed, orig_idx,
+                interpret=interpret,
+            )
     # (8, C) → ray-major [r_padded] → slice original count.
     dst = dst.T.reshape(r_padded)[:r]
     idx = idx.T.reshape(r_padded)[:r]

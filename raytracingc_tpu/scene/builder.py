@@ -187,3 +187,35 @@ def pad_scene(scene: Scene, pad_to: int = 128) -> Scene:
         pad_to=pad_to,
     )
     return scene.replace(triangles=tris, n_triangles=n_live)
+
+
+def tessellate(
+    tris: Triangles, n_live: int, levels: int = 1
+) -> tuple[Triangles, int]:
+    """Midpoint 4-way subdivision: ``n_live`` → ``4**levels * n_live`` tris.
+
+    Children inherit the parent's stored normal and material, and their
+    union covers exactly the parent's surface — a tessellated scene renders
+    the same image as the original (the per-hit shading inputs are equal),
+    which makes this the scale-up tool for exercising the tile-streamed
+    search kernel (SURVEY §7 "block-streaming for ultracomplex-scale future
+    scenes") on scenes far past the bundled assets' ~4k triangles.
+    """
+    a = np.asarray(tris.a[:n_live], np.float32)
+    b = np.asarray(tris.b[:n_live], np.float32)
+    c = np.asarray(tris.c[:n_live], np.float32)
+    nm = np.asarray(tris.normal[:n_live], np.float32)
+    al = np.asarray(tris.albedo[:n_live], np.float32)
+    em = np.asarray(tris.emission[:n_live], np.float32)
+    sm = np.asarray(tris.smoothness[:n_live], np.float32)
+    for _ in range(levels):
+        ab, bc, ca = 0.5 * (a + b), 0.5 * (b + c), 0.5 * (c + a)
+        # corner A, corner B, corner C, then the central triangle.
+        a, b, c = (
+            np.concatenate([a, ab, ca, ab]),
+            np.concatenate([ab, b, bc, bc]),
+            np.concatenate([ca, bc, c, ca]),
+        )
+        nm, al = np.tile(nm, (4, 1)), np.tile(al, (4, 1))
+        em, sm = np.tile(em, 4), np.tile(sm, 4)
+    return triangles_from_arrays(np.stack([a, b, c], axis=1), nm, al, em, sm)

@@ -1,0 +1,115 @@
+"""Tile-streamed search kernel (VERDICT r2 item 3: the VMEM scaling fix).
+
+The resident packet kernels hold the whole (12, T) triangle plane in VMEM;
+the streamed variant DMAs (12, TILE) tiles over a minor grid dimension and
+lex-merges per-tile results. Its contract: BIT-IDENTICAL to the resident
+range kernel at any tile size (the per-block MT math is the shared
+``_mt_block_test``, and min over a partition of the scan order is min over
+the order). These tests force streaming at tiny scale via RTC_STREAM_MAX_T
+so interpret mode (CPU) can cover it; the ≥200k-triangle hardware run is
+recorded in BASELINE.md ("Round 3: tile-streamed kernel").
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracingc_tpu.ops.accel import build_accel
+from raytracingc_tpu.ops.intersect import _search_triangles_xla
+from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
+from raytracingc_tpu.scene.builder import tessellate, triangles_from_arrays
+
+
+def _soup(n, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    b = a + rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    c = a + rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    nrm = np.cross(b - a, c - a)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    return triangles_from_arrays(
+        np.stack([a, b, c], 1), nrm, np.full((n, 3), 0.5, np.float32),
+        np.zeros(n, np.float32), np.zeros(n, np.float32),
+    )
+
+
+def _rays(r, seed=1):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-5, 5, (r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.fixture
+def stream_tiny(monkeypatch):
+    """Force the streamed path at toy scale (2 blocks per tile)."""
+    monkeypatch.setenv("RTC_STREAM_MAX_T", "256")
+    monkeypatch.setenv("RTC_STREAM_TILE", "256")
+
+
+def test_streamed_bit_identical_to_resident(stream_tiny, monkeypatch):
+    tris, n_live = _soup(700)  # pads to 768 = 6 blocks -> 3 tiles
+    accel = build_accel(tris, n_live)
+    o, d = _rays(2048)
+
+    ds, is_ = search_triangles_pallas(o, d, tris, accel=accel, cull="range",
+                                      n_live=n_live)
+    monkeypatch.setenv("RTC_STREAM_MAX_T", "10000000")
+    dr, ir = search_triangles_pallas(o, d, tris, accel=accel, cull="range",
+                                     n_live=n_live)
+    np.testing.assert_array_equal(np.asarray(ds), np.asarray(dr))
+    np.testing.assert_array_equal(np.asarray(is_), np.asarray(ir))
+    # and both match the XLA reference scan's winners
+    dx, ix = _search_triangles_xla(o, d, tris)
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(ix))
+    assert int(jnp.sum(is_ >= 0)) > 100  # the comparison is not vacuous
+
+
+def test_streamed_respects_alive_mask(stream_tiny, monkeypatch):
+    tris, n_live = _soup(700)
+    accel = build_accel(tris, n_live)
+    o, d = _rays(2048, seed=2)
+    alive = jnp.asarray(np.random.default_rng(3).random(2048) < 0.5)
+
+    ds, is_ = search_triangles_pallas(o, d, tris, accel=accel, cull="range",
+                                      n_live=n_live, alive=alive)
+    monkeypatch.setenv("RTC_STREAM_MAX_T", "10000000")
+    dr, ir = search_triangles_pallas(o, d, tris, accel=accel, cull="range",
+                                     n_live=n_live, alive=alive)
+    np.testing.assert_array_equal(np.asarray(ds), np.asarray(dr))
+    np.testing.assert_array_equal(np.asarray(is_), np.asarray(ir))
+
+
+def test_streamed_non_dividing_tile(stream_tiny, monkeypatch):
+    """A tile that does not divide the padded count exercises the pad path
+    (zero triangles + _BIG_I32 indices, never scanned)."""
+    monkeypatch.setenv("RTC_STREAM_TILE", "384")  # 768 % 384 == 0; use 896
+    tris, n_live = _soup(800)  # pads to 896 = 7 blocks; tile 384 -> pad 1152
+    accel = build_accel(tris, n_live)
+    o, d = _rays(1024, seed=4)
+    ds, is_ = search_triangles_pallas(o, d, tris, accel=accel, cull="range",
+                                      n_live=n_live)
+    monkeypatch.setenv("RTC_STREAM_MAX_T", "10000000")
+    dr, ir = search_triangles_pallas(o, d, tris, accel=accel, cull="range",
+                                     n_live=n_live)
+    np.testing.assert_array_equal(np.asarray(ds), np.asarray(dr))
+    np.testing.assert_array_equal(np.asarray(is_), np.asarray(ir))
+
+
+def test_tessellate_preserves_surface():
+    """4-way midpoint subdivision: counts scale by 4^levels and the closest
+    hit DISTANCE field is unchanged (the children tile the parent exactly);
+    materials/normals are inherited."""
+    tris, n_live = _soup(64, seed=7)
+    t2, n2 = tessellate(tris, n_live, levels=2)
+    assert n2 == 16 * n_live
+    o, d = _rays(512, seed=8)
+    d0, _ = _search_triangles_xla(o, d, tris)
+    d2, _ = _search_triangles_xla(o, d, t2)
+    # Distances agree to float roundoff (midpoints are exact in f32 halving,
+    # but the MT arithmetic sees different vertex values).
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d2), rtol=2e-4)
