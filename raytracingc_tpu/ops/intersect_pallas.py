@@ -476,7 +476,13 @@ def _stream_tile_pad(tris_packed, orig_idx, tile):
 # (``raytracing.c:229-237``: a later triangle replaces only on dst <).
 # ----------------------------------------------------------------------------
 
-BRUTE_MAX_TRIS = 256
+# Auto-dispatch threshold for the ray-major brute kernel, from the round-3
+# calibration grid (BASELINE.md "dispatch calibration"): brute wins every
+# measured dense scene up to 1134 live triangles (1.6-2.3x) at BOTH 16k- and
+# 64k-ray call widths, and first loses at 3584 (0.87-0.89x) — call width
+# never flipped the outcome, so the threshold is on n_live alone, placed
+# just above the largest measured win. RTC_BRUTE_MAX still overrides.
+BRUTE_MAX_TRIS = 1536
 # Static unroll budget: up to this many MT tests are fully unrolled (each
 # with immediate SMEM offsets); beyond it a fori_loop with dynamic SMEM
 # scalar reads keeps the Mosaic program size bounded.
@@ -938,12 +944,9 @@ def search_triangles_pallas(
     n_live_t = int(n_live) if n_live is not None else tris.a.shape[0]
     # Ray-major brute dispatch only in auto mode: an EXPLICIT cull= request
     # (A/B tests, RTC_CULL debugging) gets the packet kernel it asked for.
-    # RTC_BRUTE_MAX raises/lowers the auto threshold: measured on one v5e,
-    # the brute kernel still wins DENSE (closed-box) scenes 2x at 504
-    # triangles and 1.64x at 1134, and only ties sparse ones — but the
-    # packet kernel's cull advantage grows with resolution x triangle
-    # count, so the conservative default covers just the <= 2-block scenes
-    # where it can't lose (see BASELINE.md crossover table).
+    # The auto threshold (BRUTE_MAX_TRIS, override RTC_BRUTE_MAX) comes from
+    # the measured round-3 calibration grid — see the constant's comment and
+    # BASELINE.md "dispatch calibration".
     brute_max = int(os.environ.get("RTC_BRUTE_MAX", BRUTE_MAX_TRIS))
     use_brute = variant == "brute" or (
         variant == "auto" and auto_cull and n_live_t <= brute_max

@@ -113,3 +113,40 @@ def test_tessellate_preserves_surface():
     # Distances agree to float roundoff (midpoints are exact in f32 halving,
     # but the MT arithmetic sees different vertex values).
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d2), rtol=2e-4)
+
+
+def test_auto_dispatch_table(monkeypatch):
+    """VERDICT r2 item 7: the auto brute/packet threshold follows the
+    measured calibration grid (BASELINE.md "dispatch calibration") — brute
+    for n_live <= 1536, packet above, RTC_BRUTE_MAX still overriding."""
+    from raytracingc_tpu.ops import intersect_pallas as ip
+
+    calls = []
+    real_brute, real_bitmask = ip._search_padded_brute, ip._search_padded_bitmask
+
+    def spy_brute(*a, **k):
+        calls.append("brute")
+        return real_brute(*a, **k)
+
+    def spy_bitmask(*a, **k):
+        calls.append("packet")
+        return real_bitmask(*a, **k)
+
+    monkeypatch.setattr(ip, "_search_padded_brute", spy_brute)
+    monkeypatch.setattr(ip, "_search_padded_bitmask", spy_bitmask)
+
+    o, d = _rays(1024)
+    for n, expect in ((1500, "brute"), (1600, "packet")):
+        tris, n_live = _soup(n, seed=n)
+        accel = build_accel(tris, n_live)
+        calls.clear()
+        ip.search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
+        assert calls == [expect], (n, calls)
+
+    # RTC_BRUTE_MAX still forces the threshold in either direction.
+    monkeypatch.setenv("RTC_BRUTE_MAX", "100")
+    tris, n_live = _soup(1500, seed=3)
+    accel = build_accel(tris, n_live)
+    calls.clear()
+    ip.search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
+    assert calls == ["packet"], calls
