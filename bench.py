@@ -180,6 +180,10 @@ def main() -> int:
     sample_batch = (
         "auto" if sample_batch_env == "auto" else int(sample_batch_env)
     )
+    sample_group_env = os.environ.get("BENCH_SAMPLE_GROUP", "1")
+    sample_group = (
+        "auto" if sample_group_env == "auto" else int(sample_group_env)
+    )
 
     import jax
 
@@ -246,6 +250,7 @@ def main() -> int:
                 scene, cam, width, height, spp=spp, max_bounce=max_bounce,
                 seed=0, backend=backend, pixel_chunk=pixel_chunk,
                 compact=compact, sample_batch=sample_batch,
+                sample_group=sample_group,
             )
         jax.block_until_ready(img)
         return float(count)
@@ -276,6 +281,7 @@ def main() -> int:
         "pixel_chunk": pixel_chunk,
         "compact": compact,
         "sample_batch": sample_batch,
+        "sample_group": sample_group,
         # "logical" = one intersection charged per sample per live lane, as
         # the C loop executes them (raytracing.c:270); the primary-hit cache
         # means bounce-0 searches physically run once per pixel, not per

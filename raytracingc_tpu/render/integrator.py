@@ -229,7 +229,8 @@ def trace_paths(
 @partial(
     jax.jit,
     static_argnames=(
-        "max_bounce", "spp", "backend", "early_exit", "sample_batch", "compact"
+        "max_bounce", "spp", "backend", "early_exit", "sample_batch",
+        "compact", "sample_group",
     ),
 )
 def trace_accumulate(
@@ -246,6 +247,7 @@ def trace_accumulate(
     early_exit: bool = False,
     sample_batch: int | str = 1,
     compact: bool = False,
+    sample_group: int | str = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Average ``spp`` samples per ray (``main.c:98-99``'s 1/N accumulation).
 
@@ -325,9 +327,19 @@ def trace_accumulate(
             k for k in (r // 8, r // 4)
             if compact and k >= 1024 and r % k == 0
         ]
+        if sample_group == "auto":
+            # Largest divisor of spp that keeps the batched R/8-entry width
+            # near the measured 64k sweet spot (branch-independent: g is a
+            # function of (spp, r) only, so every switch branch and width
+            # adds the SAME sample slices in the same order).
+            cap = max(65536 // max(r // 8, 1), 1)
+            sample_group = next(
+                g for g in range(min(cap, spp), 0, -1) if spp % g == 0
+            )
         return _hit_front_accumulate(
             origins, dirs, scene, ray_ids, seed_arr, offset, spp,
             max_bounce, backend, active, hit0, k0s, compact,
+            sample_group=sample_group,
         )
 
     def sample(carry, sample_id):
@@ -374,7 +386,7 @@ def _alive_front_perm(mask: jax.Array) -> jax.Array:
 
 def _hit_front_accumulate(
     origins, dirs, scene, ray_ids, seed_arr, offset, spp,
-    max_bounce, backend, active, hit0, k0s, compact,
+    max_bounce, backend, active, hit0, k0s, compact, sample_group=1,
 ):
     """Sample accumulation with per-CHUNK hit-front compaction.
 
@@ -429,13 +441,56 @@ def _hit_front_accumulate(
     sample_ids = jnp.arange(spp, dtype=jnp.uint32) + offset
 
     def continuation(point, normal, albedo, smooth, d0, ids, valid, width):
-        """Per-sample bounces 1..N-1 from the (possibly compacted) hit set."""
+        """Per-sample bounces 1..N-1 from the (possibly compacted) hit set.
+
+        ``sample_group`` (static, divides spp) traces that many samples as
+        ONE widened batch — lane ``k * width + i`` is sample ``k`` of hit
+        slot ``i`` — so the per-bounce search/shade passes run at g× the
+        width with 1/g of the launches and inter-bounce XLA ops. Radiance
+        stays BIT-IDENTICAL to g=1: per-lane values are width-independent
+        (counter RNG, lane-independent math — the pinned invariant), and
+        the group's slices are added into the accumulator SEQUENTIALLY in
+        sample order, so the association never changes.
+        """
         smooth = smooth[:, None]
         # Post-bounce-0 throughput is deterministic: albedo / p with
         # p = max(albedo) (the roulette renorm); only SURVIVAL is random.
         p = jnp.max(albedo, axis=-1)
         thr = albedo / jnp.where(p > 0.0, p, 1.0)[:, None]
         spec = _reflect(d0, normal)
+
+        g = sample_group if spp % sample_group == 0 else 1
+        if g > 1:
+            widen = lambda x: jnp.tile(x, (g,) + (1,) * (x.ndim - 1))
+            point_b, normal_b, spec_b = widen(point), widen(normal), widen(spec)
+            smooth_b, thr_b = widen(smooth), widen(thr)
+            p_b, valid_b, ids_b = widen(p), widen(valid), widen(ids)
+
+            def group(carry, sids):  # sids: (g,) sample ids in order
+                acc, total = carry
+                sid_b = jnp.repeat(sids, width)
+                state = rng.stream_init(seed_arr, ids_b, sid_b)
+                state, unit = rng.next_unit_vector(state)
+                diffuse = _normalize(normal_b + unit)
+                new_dir = (1.0 - smooth_b) * diffuse + smooth_b * spec_b
+                state, u_rr = rng.next_uniform(state)
+                alive1 = valid_b & (p_b >= u_rr)
+                light_b, cnt = trace_paths(
+                    point_b, new_dir, state, scene, max_bounce - 1,
+                    backend=backend, active=alive1, early_exit=True,
+                    compact=compact, throughput0=thr_b,
+                )
+                for k in range(g):  # sequential adds: association == g=1
+                    acc = acc + light_b[k * width : (k + 1) * width]
+                return (acc, total + cnt), None
+
+            init = (
+                jnp.zeros((width, 3), jnp.float32), jnp.zeros((), jnp.float32)
+            )
+            (acc, total), _ = jax.lax.scan(
+                group, init, sample_ids.reshape(spp // g, g)
+            )
+            return acc, total
 
         def sample(carry, sid):
             acc, total = carry

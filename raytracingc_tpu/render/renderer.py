@@ -31,7 +31,7 @@ def _round_up(n: int, m: int) -> int:
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounce", "backend", "pixel_chunk",
-        "early_exit", "compact", "sample_batch",
+        "early_exit", "compact", "sample_batch", "sample_group",
     ),
 )
 def render(
@@ -48,6 +48,7 @@ def render(
     sample_offset: jax.Array | int = 0,
     compact: bool = True,
     sample_batch: int | str = 1,
+    sample_group: int | str = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Render linear radiance. Returns ``(image [H, W, 3] f32, rays_traced)``.
 
@@ -63,6 +64,12 @@ def render(
     IDENTICAL bitwise across any chunking or sharding of the pixel axis
     (every width uses the same ``light0*spp + sum(rest)`` association).
     NOT reverse-differentiable; pass ``False`` when differentiating.
+
+    ``sample_group`` batches that many samples of the hit-front continuation
+    into one widened trace (``"auto"`` targets the 64k sweet spot) — fewer,
+    larger launches; radiance stays bitwise identical at any group size
+    (sample slices are accumulated sequentially in sample order, and
+    per-lane values are width-independent).
     """
     n_pix = width * height
     if pixel_chunk is None:
@@ -93,7 +100,7 @@ def render(
             o, d, scene, ids, seed=seed, spp=spp, max_bounce=max_bounce,
             backend=backend, active=act, early_exit=early_exit,
             sample_offset=sample_offset, compact=compact,
-            sample_batch=sample_batch,
+            sample_batch=sample_batch, sample_group=sample_group,
         )
 
     if n_chunks == 1:
