@@ -99,6 +99,78 @@ def write_png(path: str, pixels: np.ndarray) -> None:
         fh.write(chunk(b"IEND", b""))
 
 
+def read_png(path: str) -> np.ndarray:
+    """Read an 8-bit RGB PNG back to [H, W, 3] uint8.
+
+    Completes the round-trip with :func:`write_png` (the reference only
+    WRITES images, via stb — ``raytracing.c:11-15``; readers exist here so
+    golden tests and tooling can consume our own outputs without external
+    deps). Supports non-interlaced 8-bit truecolor (the subset
+    :func:`write_png` emits) with all five scanline filter types, multiple
+    IDAT chunks, and RGBA input (alpha dropped).
+    """
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG file")
+    pos, idat, w = 8, b"", 0
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    f"{path}: only 8-bit non-interlaced RGB(A) supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+            nch = 3 if color == 2 else 4
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    stride = w * nch
+    rows = raw.reshape(h, stride + 1)
+    filters, scan = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    for y in range(h):
+        cur = scan[y].copy()
+        up = out[y - 1] if y else np.zeros(stride, np.int32)
+        f = filters[y]
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + up) & 0xFF
+        else:  # Sub / Average / Paeth carry a left dependency → scan in x
+            row = out[y]
+            for x in range(stride):
+                a = row[x - nch] if x >= nch else 0
+                b = up[x]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = up[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (cur[x] + pred) & 0xFF
+    return out.astype(np.uint8).reshape(h, w, nch)[:, :, :3]
+
+
+def read_image(path: str) -> np.ndarray:
+    """Dispatch on extension: BMP or PNG → [H, W, 3] uint8."""
+    if path.lower().endswith(".png"):
+        return read_png(path)
+    return read_bmp(path)
+
+
 def write_image(path: str, pixels: np.ndarray) -> None:
     """Dispatch on extension: .bmp (default, like the reference) or .png."""
     if path.lower().endswith(".png"):
