@@ -62,7 +62,7 @@ def _pad_rays(origins, dirs, ray_ids, multiple: int):
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_bounce", "backend", "mesh", "seed",
-        "early_exit", "compact"
+        "early_exit", "compact", "sample_group"
     ),
 )
 def _render_sharded_jit(
@@ -78,6 +78,7 @@ def _render_sharded_jit(
     early_exit: bool = True,
     sample_offset: jax.Array | int = 0,
     compact: bool = True,
+    sample_group: int | str = 1,
 ):
     px_size = mesh.shape["px"]
     spp_size = mesh.shape["spp"]
@@ -108,6 +109,7 @@ def _render_sharded_jit(
             active=act,
             early_exit=early_exit,
             compact=compact,
+            sample_group=sample_group,
         )
         # Combine the sample-axis partial means; total traced-ray count over
         # the whole mesh (for honest rays/s accounting).
@@ -141,6 +143,7 @@ def render_sharded(
     early_exit: bool = True,
     sample_offset: jax.Array | int = 0,
     compact: bool = True,
+    sample_group: int | str = 1,
 ):
     """Render across all devices. Returns ``(image [H, W, 3], rays_traced)``.
 
@@ -165,7 +168,7 @@ def render_sharded(
             raise ValueError(f"unknown strategy {strategy!r}")
     return _render_sharded_jit(
         scene, camera, width, height, spp, max_bounce, seed, backend, mesh,
-        early_exit, sample_offset, compact,
+        early_exit, sample_offset, compact, sample_group,
     )
 
 

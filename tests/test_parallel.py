@@ -136,3 +136,19 @@ def test_progressive_sharded_matches_oneshot(demo_scene, cam):
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
                                rtol=2e-6, atol=2e-7)
     assert float(count) == float(count_ref)
+
+
+def test_sharded_sample_group_bit_identical(demo_scene, cam):
+    """render_sharded with sample_group>1 equals g=1 BITWISE: group slices
+    accumulate sequentially in sample order, so the association never
+    changes, and per-lane values are width-independent (the pinned
+    invariant) — sharded or not."""
+    from raytracingc_tpu.parallel.sharded import render_sharded
+
+    w = h = 16
+    img1, c1 = render_sharded(demo_scene, cam, w, h, spp=8, max_bounce=3,
+                              seed=3, strategy="pixels")
+    img2, c2 = render_sharded(demo_scene, cam, w, h, spp=8, max_bounce=3,
+                              seed=3, strategy="pixels", sample_group=4)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    assert float(c1) == float(c2)
