@@ -14,7 +14,9 @@ core: ≈1.0e6 traced rays/s). The reference publishes no numbers of its own
 Env overrides: BENCH_W, BENCH_H, BENCH_SPP, BENCH_BOUNCE, BENCH_SCENE,
 BENCH_BACKEND, BENCH_REPEATS, BENCH_CHUNK (pixel chunk), BENCH_COMPACT
 (0/1, default 1), BENCH_SAMPLE_BATCH (int or "auto"), RTC_CULL
-(bitmask|range), RTC_KERNEL (auto|packet|brute|mxu).
+(bitmask|range), RTC_KERNEL (auto|packet|brute|mxu), BENCH_SAMPLE_GROUP
+(int or "auto"; unset → autotune over {1, auto} and report the winner —
+results are bitwise identical, so this is pure schedule selection).
 
 Modes (VERDICT r2 items 2 and 5):
 
@@ -239,31 +241,43 @@ def main() -> int:
             raise SystemExit(f"unknown BENCH_SHARD={shard!r}")
         from raytracingc_tpu.parallel.sharded import render_sharded
 
-    def run():
+    def run(sg):
         if mesh is not None:
             img, count = render_sharded(
                 scene, cam, width, height, spp=spp, max_bounce=max_bounce,
-                seed=0, backend=backend, mesh=mesh,
+                seed=0, backend=backend, mesh=mesh, sample_group=sg,
             )
         else:
             img, count = render(
                 scene, cam, width, height, spp=spp, max_bounce=max_bounce,
                 seed=0, backend=backend, pixel_chunk=pixel_chunk,
                 compact=compact, sample_batch=sample_batch,
-                sample_group=sample_group,
+                sample_group=sg,
             )
         jax.block_until_ready(img)
         return float(count)
 
-    t0 = time.time()
-    count = run()  # warmup + compile
-    compile_s = time.time() - t0
-
-    best = float("inf")
-    for _ in range(max(repeats, 1)):
+    # Unless BENCH_SAMPLE_GROUP pins a value, autotune the sample-group knob
+    # over {1, auto}: results are BITWISE identical either way (the
+    # sequential-association rule, tests/test_parallel.py), so this is pure
+    # schedule selection — a deployment would pick the same way. The chosen
+    # value is reported in the JSON for provenance.
+    candidates = (
+        [sample_group]
+        if "BENCH_SAMPLE_GROUP" in os.environ
+        else [1, "auto"]
+    )
+    best, compile_s, sample_group = float("inf"), 0.0, candidates[0]
+    for sg in candidates:
         t0 = time.time()
-        count = run()
-        best = min(best, time.time() - t0)
+        count = run(sg)  # warmup + compile
+        compile_s += time.time() - t0
+        for _ in range(max(repeats, 1)):
+            t0 = time.time()
+            count = run(sg)
+            dt = time.time() - t0
+            if dt < best:
+                best, sample_group = dt, sg
 
     rays_per_sec = count / best
     shard_tag = f" shard={shard}" if shard else ""
