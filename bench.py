@@ -272,12 +272,16 @@ def main() -> int:
         t0 = time.time()
         count = run(sg)  # warmup + compile
         compile_s += time.time() - t0
+        sg_best = float("inf")
         for _ in range(max(repeats, 1)):
             t0 = time.time()
             count = run(sg)
-            dt = time.time() - t0
-            if dt < best:
-                best, sample_group = dt, sg
+            sg_best = min(sg_best, time.time() - t0)
+        if len(candidates) > 1:  # the A/B record behind the reported winner
+            print(f"# sample_group={sg}: {count / sg_best:.4g} rays/s "
+                  f"({sg_best:.3f}s)", file=sys.stderr)
+        if sg_best < best:
+            best, sample_group = sg_best, sg
 
     rays_per_sec = count / best
     shard_tag = f" shard={shard}" if shard else ""
