@@ -241,7 +241,7 @@ def main() -> int:
             raise SystemExit(f"unknown BENCH_SHARD={shard!r}")
         from raytracingc_tpu.parallel.sharded import render_sharded
 
-    def run(sg):
+    def run(sg, chunk):
         if mesh is not None:
             img, count = render_sharded(
                 scene, cam, width, height, spp=spp, max_bounce=max_bounce,
@@ -250,38 +250,50 @@ def main() -> int:
         else:
             img, count = render(
                 scene, cam, width, height, spp=spp, max_bounce=max_bounce,
-                seed=0, backend=backend, pixel_chunk=pixel_chunk,
+                seed=0, backend=backend, pixel_chunk=chunk,
                 compact=compact, sample_batch=sample_batch,
                 sample_group=sg,
             )
         jax.block_until_ready(img)
         return float(count)
 
-    # Unless BENCH_SAMPLE_GROUP pins a value, autotune the sample-group knob
-    # over {1, auto}: results are BITWISE identical either way (the
-    # sequential-association rule, tests/test_parallel.py), so this is pure
-    # schedule selection — a deployment would pick the same way. The chosen
-    # value is reported in the JSON for provenance.
-    candidates = (
-        [sample_group]
-        if "BENCH_SAMPLE_GROUP" in os.environ
-        else [1, "auto"]
-    )
-    best, compile_s, sample_group = float("inf"), 0.0, candidates[0]
-    for sg in candidates:
+    # Unless BENCH_SAMPLE_GROUP / BENCH_CHUNK pin values, autotune over a
+    # small (sample_group, pixel_chunk) grid: results are BITWISE identical
+    # at any point (the sequential-association rule,
+    # tests/test_parallel.py), so this is pure schedule selection — a
+    # deployment would pick the same way. Sample batching cuts per-bounce
+    # launches ~g×, which can move the chunk optimum up from the g=1 64k
+    # sweet spot, hence the 128k×auto point. Winners are reported in the
+    # JSON; every candidate's rays/s goes to stderr as the A/B record.
+    pinned_sg = "BENCH_SAMPLE_GROUP" in os.environ
+    pinned_chunk = pixel_chunk is not None
+    if pinned_sg and pinned_chunk:
+        candidates = [(sample_group, pixel_chunk)]
+    elif pinned_sg:
+        candidates = [(sample_group, None)]
+    elif pinned_chunk:
+        candidates = [(1, pixel_chunk), ("auto", pixel_chunk)]
+    else:
+        candidates = [(1, None), ("auto", None)]
+        if mesh is None and width * height > 131072:
+            candidates.append(("auto", 131072))
+    best, compile_s = float("inf"), 0.0
+    sample_group, pixel_chunk = candidates[0]
+    for sg, chunk in candidates:
         t0 = time.time()
-        count = run(sg)  # warmup + compile
+        count = run(sg, chunk)  # warmup + compile
         compile_s += time.time() - t0
         sg_best = float("inf")
         for _ in range(max(repeats, 1)):
             t0 = time.time()
-            count = run(sg)
+            count = run(sg, chunk)
             sg_best = min(sg_best, time.time() - t0)
         if len(candidates) > 1:  # the A/B record behind the reported winner
-            print(f"# sample_group={sg}: {count / sg_best:.4g} rays/s "
-                  f"({sg_best:.3f}s)", file=sys.stderr)
+            print(f"# sample_group={sg} chunk={chunk}: "
+                  f"{count / sg_best:.4g} rays/s ({sg_best:.3f}s)",
+                  file=sys.stderr)
         if sg_best < best:
-            best, sample_group = sg_best, sg
+            best, sample_group, pixel_chunk = sg_best, sg, chunk
 
     rays_per_sec = count / best
     shard_tag = f" shard={shard}" if shard else ""
