@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--triangles", default="triangles.txt",
                    help="triangles.txt path for default mode")
     p.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
+    p.add_argument("--tessellate", type=int, default=0, metavar="LEVELS",
+                   help="midpoint-subdivide the scene 4^LEVELS-fold before "
+                   "rendering (same image, more triangles — exercises the "
+                   "tile-streamed kernel past ~65k triangles)")
     p.add_argument("--shard", choices=["none", "pixels", "samples"], default="none",
                    help="multi-device sharding strategy")
     p.add_argument("--pixel-chunk", type=int, default=None,
@@ -114,6 +118,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         print(f"Starting raytracingc-tpu in OBJ mode ({args.input})")
         scene = scene_from_obj(args.input, env=env)
+    if args.tessellate > 0:
+        from raytracingc_tpu.scene.builder import tessellate
+
+        tris, n_live = tessellate(
+            scene.triangles, scene.n_triangles, levels=args.tessellate
+        )
+        scene = scene.replace(
+            triangles=tris, n_triangles=n_live, accel=None
+        ).with_accel()
     t_load = time.time() - t0
     print(f"Scene: {scene.n_triangles} triangles, {scene.n_spheres} spheres "
           f"(loaded in {t_load:.2f}s)")

@@ -71,3 +71,16 @@ def test_objtest_cli(models_dir, capsys):
     assert rc == 0
     assert "120 triangles" in capsys.readouterr().out
     assert objtest_main(["/nonexistent.obj"]) == 1
+
+
+def test_cli_tessellate(models_dir, tmp_path):
+    """--tessellate N subdivides 4^N-fold and renders the SAME image (the
+    children tile the parents; one-command driver for the tile-streamed
+    kernel at scale)."""
+    out0 = str(tmp_path / "plain.bmp")
+    out2 = str(tmp_path / "tess.bmp")
+    base = ["-i", os.path.join(models_dir, "simplest.obj"),
+            "-s", "8", "8", "--spp", "2", "-b", "2"]
+    assert main(base + ["-o", out0]) == 0
+    assert main(base + ["--tessellate", "2", "-o", out2]) == 0
+    np.testing.assert_array_equal(read_bmp(out0), read_bmp(out2))
