@@ -67,15 +67,16 @@ def _bench_train(scene, cam, scene_path: str, platform: str) -> int:
 
     # Train defaults are smaller: the geometry-trainable loss runs the
     # accel-free brute search, and the backward sweep roughly doubles cost.
-    width = int(os.environ.get("BENCH_W", 256))
-    height = int(os.environ.get("BENCH_H", 256))
-    spp = int(os.environ.get("BENCH_SPP", 2))
-    max_bounce = int(os.environ.get("BENCH_BOUNCE", 4))
+    # CPU fallback shrinks the DEFAULTS only — explicit BENCH_* overrides
+    # are honored on every platform (the env-override contract).
+    dw = dh = 256 if platform != "cpu" else 64
+    dspp, db = (2, 4) if platform != "cpu" else (1, 2)
+    width = int(os.environ.get("BENCH_W", dw))
+    height = int(os.environ.get("BENCH_H", dh))
+    spp = int(os.environ.get("BENCH_SPP", dspp))
+    max_bounce = int(os.environ.get("BENCH_BOUNCE", db))
     backend = os.environ.get("BENCH_BACKEND", "auto")
     repeats = int(os.environ.get("BENCH_REPEATS", 2))
-    if platform == "cpu":
-        width = height = 64
-        spp, max_bounce = 1, 2
 
     origins, dirs = primary_rays(cam, width, height)
     ray_ids = jnp.arange(width * height, dtype=jnp.uint32)
@@ -267,7 +268,12 @@ def main() -> int:
     # JSON; every candidate's rays/s goes to stderr as the A/B record.
     pinned_sg = "BENCH_SAMPLE_GROUP" in os.environ
     pinned_chunk = pixel_chunk is not None
-    if pinned_sg and pinned_chunk:
+    if sample_batch != 1:
+        # sample_batch>1 takes trace_accumulate's widened-batch branch
+        # before sample_group is ever consulted — autotuning it would just
+        # re-measure identical programs.
+        candidates = [(1, pixel_chunk)]
+    elif pinned_sg and pinned_chunk:
         candidates = [(sample_group, pixel_chunk)]
     elif pinned_sg:
         candidates = [(sample_group, None)]
@@ -282,7 +288,7 @@ def main() -> int:
     for sg, chunk in candidates:
         t0 = time.time()
         count = run(sg, chunk)  # warmup + compile
-        compile_s += time.time() - t0
+        warm_s = time.time() - t0
         sg_best = float("inf")
         for _ in range(max(repeats, 1)):
             t0 = time.time()
@@ -293,7 +299,10 @@ def main() -> int:
                   f"{count / sg_best:.4g} rays/s ({sg_best:.3f}s)",
                   file=sys.stderr)
         if sg_best < best:
+            # compile_s keeps its historical meaning: the winner's own
+            # warmup (compile + first run), not a sum over candidates.
             best, sample_group, pixel_chunk = sg_best, sg, chunk
+            compile_s = warm_s
 
     rays_per_sec = count / best
     shard_tag = f" shard={shard}" if shard else ""

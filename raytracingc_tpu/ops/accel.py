@@ -114,15 +114,23 @@ def build_accel(tris: Triangles, n_live: int) -> TriangleAccel:
         lo_blocks[blk] = vs.min(axis=0)
         hi_blocks[blk] = vs.max(axis=0)
 
-    from raytracingc_tpu.ops.intersect_mxu import pack_coeffs_mxu
+    # Eager (non-traced) MXU coefficient build: bits fixed once per scene.
+    # Only for scenes the MXU kernel will actually accept (MXU_MAX_TRIS) —
+    # past that the table is dead weight (384 B/triangle, ~95 MB at 247k
+    # tris) uploaded with every device_put of the scene.
+    from raytracingc_tpu.ops.intersect_mxu import MXU_MAX_TRIS, pack_coeffs_mxu
 
+    coeffs = (
+        pack_coeffs_mxu(permuted, jax.numpy.asarray(orig))
+        if t <= MXU_MAX_TRIS
+        else None
+    )
     return TriangleAccel(
         triangles=permuted,
         orig_idx=jax.numpy.asarray(orig),
         aabb_lo=jax.numpy.asarray(lo_blocks),
         aabb_hi=jax.numpy.asarray(hi_blocks),
-        # Eager (non-traced) build: bits fixed once per scene.
-        mxu_coeffs=pack_coeffs_mxu(permuted, jax.numpy.asarray(orig)),
+        mxu_coeffs=coeffs,
     )
 
 

@@ -67,6 +67,12 @@ N_QUANT = 6  # det, dn, u', v', t', orig-index
 FEATS = 16  # 13 used + 3 zero padding (MXU-friendly width)
 ROWS_PER_BLOCK = N_QUANT * TRI_LANES  # 768 coefficient rows per block
 _BIG_F = float(2**30)  # f32-exact padding sentinel (a power of two)
+# Largest padded triangle count the MXU kernel accepts: the whole (T*6, 16)
+# coefficient table rides as one constant VMEM block (384 B/triangle), so
+# 8192 tris = 3 MiB — the same resident-plane budget as the packet kernels'
+# streaming threshold. The old gate (8 union words ≈ 31744 tris) admitted
+# 12 MiB tables that were never measured; every measured MXU win is ≤3968.
+MXU_MAX_TRIS = 8192
 
 
 def pack_coeffs_mxu(tris: Triangles, orig_idx: jax.Array) -> jax.Array:

@@ -954,18 +954,39 @@ def search_triangles_pallas(
     if accel is None:
         accel = trivial_accel(tris)
     n_blocks_total = accel.aabb_lo.shape[0]
+    t_padded = n_blocks_total * TRI_LANES
+    stream_max_t = int(
+        os.environ.get("RTC_STREAM_MAX_T", STREAM_MAX_RESIDENT_T)
+    )
     use_mxu = variant == "mxu"
-    if use_mxu and -(-n_blocks_total // BITS_PER_WORD) > 8:
-        # The MXU kernel unrolls one bit-walk per union word like the
-        # bitmask kernel; very large scenes take the streaming path (TODO)
-        # or the range kernel meanwhile.
-        use_mxu = False
+    if use_mxu:
+        from raytracingc_tpu.ops.intersect_mxu import MXU_MAX_TRIS
+
+        if t_padded > MXU_MAX_TRIS or -(-n_blocks_total // BITS_PER_WORD) > 8:
+            # The (T*6, 16) coefficient table rides whole in VMEM (384
+            # B/triangle) and the kernel unrolls one bit-walk per union
+            # word — both cap the scene size. LOUD fallback: an explicit
+            # variant request must not silently benchmark another kernel.
+            import sys
+
+            print(
+                f"raytracingc_tpu: RTC_KERNEL=mxu unsupported at {t_padded} "
+                f"padded triangles (cap {MXU_MAX_TRIS}); falling back to the "
+                "packet kernel",
+                file=sys.stderr,
+            )
+            use_mxu = False
     if cull == "bitmask":
         # The bitmask kernel unrolls one bit-walk loop per 31-block word;
         # very large scenes would blow up Mosaic compile time and program
         # size. Past ~8 words (~32k triangles) fall back to the bounded
-        # [first, last] range kernel, which handles any block count.
-        if -(-n_blocks_total // BITS_PER_WORD) > 8:
+        # [first, last] range kernel, which handles any block count. The
+        # stream threshold also forces range here so RTC_STREAM_MAX_T works
+        # under the default bitmask cull (streaming is range-only).
+        if (
+            -(-n_blocks_total // BITS_PER_WORD) > 8
+            or t_padded > stream_max_t
+        ):
             cull = "range"
     r = o.shape[0]
     # The per-column SMEM arrays live whole in SMEM; bound them by splitting
@@ -1130,9 +1151,6 @@ def search_triangles_pallas(
     else:
         first, last = packet_block_ranges(o_p, d_p, a_p, accel)
 
-        stream_max_t = int(
-            os.environ.get("RTC_STREAM_MAX_T", STREAM_MAX_RESIDENT_T)
-        )
         if t > stream_max_t:
             # Tile-streamed kernel: O(tile) triangle VMEM (VERDICT r2
             # item 3). Per-(program, tile) activity flags let whole DMA+scan

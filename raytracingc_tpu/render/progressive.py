@@ -80,17 +80,6 @@ def render_progressive(
             spp_dim = 2 if n % 2 == 0 and n > 1 else 1
         else:
             spp_dim = 1
-        if spp_dim > 1:
-            sizes = {min(batch_spp, spp - d) for d in range(0, spp, batch_spp)}
-            bad = sorted(b for b in sizes if b % spp_dim)
-            if bad:
-                raise ValueError(
-                    f"samples sharding over {spp_dim} devices needs every "
-                    f"batch divisible by {spp_dim}: got spp={spp}, "
-                    f"batch_spp={batch_spp} (offending batch sizes {bad}). "
-                    f"Pick batch_spp a multiple of {spp_dim} with "
-                    f"spp % batch_spp also a multiple, or shard by pixels."
-                )
 
     n_batches = (spp + batch_spp - 1) // batch_spp
     acc = jnp.zeros((height, width, 3), jnp.float32)
@@ -100,6 +89,25 @@ def render_progressive(
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
         (acc, count), saved = load_pytree(checkpoint_path, (acc, count))
         done_spp = saved or 0
+
+    if (mesh is not None or shard_strategy is not None) and spp_dim > 1:
+        # Validate against the batches the loop will ACTUALLY run — a resume
+        # from a checkpoint written with a different batch_spp can start at
+        # a done_spp that is no multiple of batch_spp, so the size sequence
+        # must be derived from done_spp, not from 0.
+        sizes = {
+            min(batch_spp, spp - d) for d in range(done_spp, spp, batch_spp)
+        }
+        bad = sorted(b for b in sizes if b % spp_dim)
+        if bad:
+            raise ValueError(
+                f"samples sharding over {spp_dim} devices needs every "
+                f"batch divisible by {spp_dim}: got spp={spp}, "
+                f"batch_spp={batch_spp}, resume offset {done_spp} "
+                f"(offending batch sizes {bad}). Pick batch_spp a multiple "
+                f"of {spp_dim} with spp % batch_spp also a multiple, or "
+                f"shard by pixels."
+            )
 
     while done_spp < spp:
         this = min(batch_spp, spp - done_spp)

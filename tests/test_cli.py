@@ -76,11 +76,17 @@ def test_objtest_cli(models_dir, capsys):
 def test_cli_tessellate(models_dir, tmp_path):
     """--tessellate N subdivides 4^N-fold and renders the SAME image (the
     children tile the parents; one-command driver for the tile-streamed
-    kernel at scale)."""
+    kernel at scale). The guarantee is float-level, not bitwise — child MT
+    distances can differ in ulps, which may cross a tonemap quantization
+    boundary — so allow a ±1 uint8 step on a small minority of pixels."""
     out0 = str(tmp_path / "plain.bmp")
     out2 = str(tmp_path / "tess.bmp")
     base = ["-i", os.path.join(models_dir, "simplest.obj"),
             "-s", "8", "8", "--spp", "2", "-b", "2"]
     assert main(base + ["-o", out0]) == 0
     assert main(base + ["--tessellate", "2", "-o", out2]) == 0
-    np.testing.assert_array_equal(read_bmp(out0), read_bmp(out2))
+    a = read_bmp(out0).astype(int)
+    b = read_bmp(out2).astype(int)
+    diff = np.abs(a - b)
+    assert diff.max() <= 1, diff.max()
+    assert (diff == 0).mean() > 0.95, (diff != 0).sum()

@@ -150,3 +150,32 @@ def test_auto_dispatch_table(monkeypatch):
     calls.clear()
     ip.search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
     assert calls == ["packet"], calls
+
+
+def test_stream_threshold_applies_under_default_bitmask_cull(monkeypatch):
+    """RTC_STREAM_MAX_T must force the streamed (range) kernel even when the
+    cull is the DEFAULT bitmask — the knob caps resident VMEM regardless of
+    cull mode (review r3 finding)."""
+    from raytracingc_tpu.ops import intersect_pallas as ip
+
+    monkeypatch.setenv("RTC_STREAM_MAX_T", "256")
+    monkeypatch.setenv("RTC_STREAM_TILE", "256")
+    monkeypatch.setenv("RTC_BRUTE_MAX", "0")  # keep the packet path
+
+    calls = []
+    real = ip._search_padded_streamed
+
+    def spy(*a, **k):
+        calls.append("streamed")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ip, "_search_padded_streamed", spy)
+
+    tris, n_live = _soup(700)
+    accel = build_accel(tris, n_live)
+    o, d = _rays(1024, seed=9)
+    # No cull= argument: the default (bitmask) must still stream.
+    ds, is_ = ip.search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
+    assert calls == ["streamed"], calls
+    dx, ix = _search_triangles_xla(o, d, tris)
+    np.testing.assert_array_equal(np.asarray(is_), np.asarray(ix))
