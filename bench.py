@@ -16,7 +16,8 @@ BENCH_BACKEND, BENCH_REPEATS, BENCH_CHUNK (pixel chunk), BENCH_COMPACT
 (0/1, default 1), BENCH_SAMPLE_BATCH (int or "auto"), RTC_CULL
 (bitmask|range), RTC_KERNEL (auto|packet|brute|mxu), BENCH_SAMPLE_GROUP
 (int or "auto"; unset → autotune over {1, auto} and report the winner —
-results are bitwise identical, so this is pure schedule selection).
+same arithmetic and association at every point, so this is pure schedule
+selection).
 
 Modes (VERDICT r2 items 2 and 5):
 
@@ -259,10 +260,10 @@ def main() -> int:
         return float(count)
 
     # Unless BENCH_SAMPLE_GROUP / BENCH_CHUNK pin values, autotune over a
-    # small (sample_group, pixel_chunk) grid: results are BITWISE identical
-    # at any point (the sequential-association rule,
-    # tests/test_parallel.py), so this is pure schedule selection — a
-    # deployment would pick the same way. Sample batching cuts per-bounce
+    # small (sample_group, pixel_chunk) grid: every point computes the same
+    # per-lane arithmetic with the same association (results agree within
+    # the repo-wide ~1-ulp fusion wobble; counts exactly), so this is pure
+    # schedule selection — a deployment would pick the same way. Sample batching cuts per-bounce
     # launches ~g×, which can move the chunk optimum up from the g=1 64k
     # sweet spot, hence the 128k×auto point. Winners are reported in the
     # JSON; every candidate's rays/s goes to stderr as the A/B record.

@@ -67,9 +67,13 @@ def render(
 
     ``sample_group`` batches that many samples of the hit-front continuation
     into one widened trace (``"auto"`` targets the 64k sweet spot) — fewer,
-    larger launches; radiance stays bitwise identical at any group size
-    (sample slices are accumulated sequentially in sample order, and
-    per-lane values are width-independent).
+    larger launches. Per-lane arithmetic and the accumulation association
+    are identical at any group size (slices add sequentially in sample
+    order), so results agree within the repo-wide ~1-ulp XLA
+    fusion-context wobble across program shapes — and the traced-ray
+    counts exactly. The default stays 1 because the BITWISE
+    chunking/sharding invariance is pinned for the default configuration;
+    opt in for throughput (bench.py autotunes it and reports the winner).
     """
     n_pix = width * height
     if pixel_chunk is None:

