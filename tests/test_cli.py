@@ -90,3 +90,27 @@ def test_cli_tessellate(models_dir, tmp_path):
     diff = np.abs(a - b)
     assert diff.max() <= 1, diff.max()
     assert (diff == 0).mean() > 0.95, (diff != 0).sum()
+
+
+def test_cli_profile_smoke(models_dir, tmp_path, capsys):
+    """--profile prints the phase timing breakdown without disturbing the
+    render (smoke: the subsystem SURVEY §5.1 promises)."""
+    out = str(tmp_path / "p.bmp")
+    rc = main(["-i", os.path.join(models_dir, "simplest.obj"),
+               "-s", "8", "8", "--spp", "2", "-b", "2", "--profile",
+               "-o", out])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "rays traced" in text
+    assert read_bmp(out).shape == (8, 8, 3)
+
+
+def test_read_image_dispatch(tmp_path):
+    """read_image routes on extension like write_image (BMP and PNG)."""
+    from raytracingc_tpu.render.image import read_image, write_image
+
+    img = (np.arange(4 * 4 * 3).reshape(4, 4, 3) * 17 % 256).astype(np.uint8)
+    for ext in ("bmp", "png"):
+        path = str(tmp_path / f"d.{ext}")
+        write_image(path, img)
+        np.testing.assert_array_equal(read_image(path), img)

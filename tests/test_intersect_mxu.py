@@ -158,3 +158,35 @@ def test_mxu_search_slicing_exact():
         np.asarray(dst_f), np.concatenate([np.asarray(p[0]) for p in parts]))
     np.testing.assert_array_equal(
         np.asarray(idx_f), np.concatenate([np.asarray(p[1]) for p in parts]))
+
+
+def test_mxu_oversize_falls_back_loudly(capsys):
+    """An explicit RTC_KERNEL=mxu request past the VMEM cap must fall back
+    to the packet kernel WITH a stderr notice (review r3 finding: silent
+    fallback misattributes A/B numbers)."""
+    import numpy as np
+
+    from raytracingc_tpu.ops.accel import build_accel
+    from raytracingc_tpu.ops.intersect_mxu import MXU_MAX_TRIS
+    from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
+    from raytracingc_tpu.scene.builder import triangles_from_arrays
+
+    rng = np.random.default_rng(11)
+    n = MXU_MAX_TRIS + 128
+    a = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    b = a + rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    c = a + rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    nm = np.cross(b - a, c - a)
+    nm /= np.maximum(np.linalg.norm(nm, axis=1, keepdims=True), 1e-20)
+    tris, n_live = triangles_from_arrays(
+        np.stack([a, b, c], 1), nm, np.full((n, 3), 0.5, np.float32),
+        np.zeros(n, np.float32), np.zeros(n, np.float32))
+    accel = build_accel(tris, n_live)
+    assert accel.mxu_coeffs is None  # dead-weight table not packed past cap
+
+    import jax.numpy as jnp
+    o = jnp.zeros((1024, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (1024, 1))
+    search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live,
+                            variant="mxu")
+    assert "RTC_KERNEL=mxu unsupported" in capsys.readouterr().err
