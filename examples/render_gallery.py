@@ -52,7 +52,9 @@ def main() -> int:
 
     # Enclosed scenes keep every path alive for all bounces (dense regime);
     # cap their spp so the gallery renders in minutes.
-    spp_override = {"default_box": 1024, "box_scene": 1024}
+    spp_override = {"default_box": 1024, "box_scene": 1024,
+                    # ~4M rays/s through the streamed kernel: keep it minutes.
+                    "suzannes_x64_streamed": 256}
     shots = {
         "default_box": lambda: (
             scene_from_triangles_txt(os.path.join(REF, "triangles.txt")),
@@ -81,7 +83,22 @@ def main() -> int:
                            env=sun_env()),
             Camera.look_at(origin=[-3.0, -2.2, -5.0], target=[0.5, -1.0, 0.8]),
         ),
+        # 247,552 triangles (suzannes ×64): drives the tile-streamed kernel;
+        # visually identical to "suzannes" by construction — the point IS
+        # that a scene 64× past the VMEM ceiling renders the same.
+        "suzannes_x64_streamed": lambda: (
+            _tessellated(os.path.join(REF, "3Dmodels/suzannes.obj"), 3),
+            default_cam,
+        ),
     }
+
+    def _tessellated(path, levels):
+        from raytracingc_tpu.scene.builder import tessellate
+
+        s = scene_from_obj(path)
+        tris, n_live = tessellate(s.triangles, s.n_triangles, levels=levels)
+        return s.replace(triangles=tris, n_triangles=n_live,
+                         accel=None).with_accel()
 
     os.makedirs(OUT, exist_ok=True)
     for name, build in shots.items():
