@@ -35,8 +35,6 @@ def _normalize(v: jax.Array) -> jax.Array:
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
 
 
-
-
 def _reflect(d: jax.Array, n: jax.Array) -> jax.Array:
     """Mirror reflection (``moremath.c:79-82``)."""
     return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
