@@ -284,9 +284,20 @@ def main() -> int:
         candidates = [(1, None), ("auto", None)]
         if mesh is None and width * height > 131072:
             candidates.append(("auto", 131072))
+    # Candidate budget: first-compiles through the TPU tunnel can take
+    # minutes each; rather than risk a driver-side timeout killing the run
+    # with NO JSON emitted, stop starting new candidates once the elapsed
+    # autotune time passes the budget and report the best so far (skips are
+    # logged to stderr). The first candidate always runs.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 900))
+    t_start = time.time()
     best, compile_s = float("inf"), 0.0
     sample_group, pixel_chunk = candidates[0]
-    for sg, chunk in candidates:
+    for ci, (sg, chunk) in enumerate(candidates):
+        if ci > 0 and time.time() - t_start > budget_s:
+            print(f"# budget {budget_s:.0f}s exceeded: skipping candidates "
+                  f"{candidates[ci:]}", file=sys.stderr)
+            break
         t0 = time.time()
         count = run(sg, chunk)  # warmup + compile
         warm_s = time.time() - t0
