@@ -229,19 +229,15 @@ def main() -> int:
     shard = os.environ.get("BENCH_SHARD")
     mesh = None
     if shard:
-        from raytracingc_tpu.parallel.mesh import make_mesh
+        from raytracingc_tpu.parallel.sharded import (
+            mesh_for_strategy,
+            render_sharded,
+        )
 
-        n = len(jax.devices())
-        if shard == "pixels":
-            mesh = make_mesh(px=n, spp=1)
-        elif shard == "samples":
-            mesh = make_mesh(px=1, spp=n)
-        elif shard == "both":
-            spp_dim = 2 if n % 2 == 0 and n > 1 else 1
-            mesh = make_mesh(px=n // spp_dim, spp=spp_dim)
-        else:
-            raise SystemExit(f"unknown BENCH_SHARD={shard!r}")
-        from raytracingc_tpu.parallel.sharded import render_sharded
+        try:
+            mesh = mesh_for_strategy(shard, len(jax.devices()))
+        except ValueError as e:
+            raise SystemExit(f"BENCH_SHARD: {e}")
 
     def run(sg, chunk):
         if mesh is not None:
@@ -329,9 +325,12 @@ def main() -> int:
         "compile_s": round(compile_s, 2),
         "backend": backend,
         "mesh": dict(mesh.shape) if mesh is not None else None,
-        "pixel_chunk": pixel_chunk,
-        "compact": compact,
-        "sample_batch": sample_batch,
+        # Direct-path knobs are nulled in shard mode — render_sharded takes
+        # none of them, and the A/B record must not attribute a measurement
+        # to a configuration that never ran.
+        "pixel_chunk": pixel_chunk if mesh is None else None,
+        "compact": compact if mesh is None else None,
+        "sample_batch": sample_batch if mesh is None else None,
         "sample_group": sample_group,
         # "logical" = one intersection charged per sample per live lane, as
         # the C loop executes them (raytracing.c:270); the primary-hit cache

@@ -151,7 +151,6 @@ def _mxu_block_test(feats, coef_ref, j, best_d, best_i, *, precision):
     ``best_d``/``best_i`` are ``(1, R)`` f32 running (distance, orig index)
     carries; index rides in f32 (see module docstring).
     """
-    r = feats.shape[1]
     off = pl.multiple_of(j * ROWS_PER_BLOCK, ROWS_PER_BLOCK)
     coef = coef_ref[pl.ds(off, ROWS_PER_BLOCK), :]  # (768, 16)
     m = jax.lax.dot_general(

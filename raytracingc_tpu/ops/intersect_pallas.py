@@ -976,6 +976,9 @@ def search_triangles_pallas(
                 file=sys.stderr,
             )
             use_mxu = False
+            # Resolve the variant NOW so the max_rays slicing recursion
+            # below does not re-trip this gate once per slice.
+            variant = "packet"
     if cull == "bitmask":
         # The bitmask kernel unrolls one bit-walk loop per 31-block word;
         # very large scenes would blow up Mosaic compile time and program

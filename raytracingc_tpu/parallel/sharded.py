@@ -129,6 +129,29 @@ def _render_sharded_jit(
     return image, count
 
 
+def strategy_spp_dim(strategy: str, n_devices: int) -> int:
+    """The spp mesh dimension a strategy resolves to on ``n_devices``.
+
+    The SINGLE source of truth for the strategy → mesh-shape mapping —
+    ``render_sharded``, ``render_progressive``'s up-front batch validation,
+    and ``bench.py``'s BENCH_SHARD all consult it, so the divisibility
+    predictions can never drift from the mesh actually built.
+    """
+    if strategy == "pixels":
+        return 1
+    if strategy == "samples":
+        return n_devices
+    if strategy == "both":
+        return 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def mesh_for_strategy(strategy: str, n_devices: int) -> Mesh:
+    """Build the (px, spp) mesh a strategy implies (see strategy_spp_dim)."""
+    spp_dim = strategy_spp_dim(strategy, n_devices)
+    return make_mesh(px=n_devices // spp_dim, spp=spp_dim)
+
+
 def render_sharded(
     scene: Scene,
     camera: Camera,
@@ -156,16 +179,7 @@ def render_sharded(
     progressive/checkpointed accumulation on top of sharded rendering.
     """
     if mesh is None:
-        n = len(jax.devices())
-        if strategy == "pixels":
-            mesh = make_mesh(px=n, spp=1)
-        elif strategy == "samples":
-            mesh = make_mesh(px=1, spp=n)
-        elif strategy == "both":
-            spp_dim = 2 if n % 2 == 0 and n > 1 else 1
-            mesh = make_mesh(px=n // spp_dim, spp=spp_dim)
-        else:
-            raise ValueError(f"unknown strategy {strategy!r}")
+        mesh = mesh_for_strategy(strategy, len(jax.devices()))
     return _render_sharded_jit(
         scene, camera, width, height, spp, max_bounce, seed, backend, mesh,
         early_exit, sample_offset, compact, sample_group,

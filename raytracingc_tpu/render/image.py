@@ -133,10 +133,16 @@ def read_png(path: str) -> np.ndarray:
             idat += payload
         elif tag == b"IEND":
             break
+    if w == 0:
+        raise ValueError(f"{path}: missing or empty IHDR chunk")
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
     stride = w * nch
     rows = raw.reshape(h, stride + 1)
     filters, scan = rows[:, 0], rows[:, 1:].astype(np.int32)
+    if filters.max(initial=0) > 4:
+        raise ValueError(
+            f"{path}: unknown scanline filter type {int(filters.max())}"
+        )
     out = np.zeros((h, stride), np.int32)
     for y in range(h):
         cur = scan[y].copy()

@@ -270,6 +270,25 @@ def trace_accumulate(
     r = origins.shape[0]
     seed_arr = jnp.uint32(seed)
     offset = jnp.asarray(sample_offset, jnp.uint32)
+    # Loud validation (parity with sample_batch below): a sample_group that
+    # cannot apply must not be silently ignored — the caller would measure
+    # g=1 believing g ran.
+    if sample_group != 1 and sample_group != "auto":
+        if spp % int(sample_group) != 0:
+            raise ValueError(
+                f"sample_group={sample_group} must divide spp={spp}"
+            )
+        if not early_exit:
+            raise ValueError(
+                "sample_group>1 requires early_exit=True (the hit-front "
+                "accumulator); the fixed-length scan ignores it"
+            )
+        if sample_batch != 1:
+            raise ValueError(
+                "sample_group and sample_batch>1 are mutually exclusive "
+                "(the widened sample_batch path bypasses the hit-front "
+                "accumulator)"
+            )
     if sample_batch == "auto":
         sample_batch = next(k for k in (8, 4, 2, 1) if spp % k == 0)
     assert spp % sample_batch == 0, (spp, sample_batch)

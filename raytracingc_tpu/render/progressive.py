@@ -73,13 +73,10 @@ def render_progressive(
         strategy = shard_strategy or "pixels"
         if mesh is not None:
             spp_dim = mesh.shape.get("spp", 1)
-        elif strategy == "samples":
-            spp_dim = len(jax.devices())
-        elif strategy == "both":
-            n = len(jax.devices())
-            spp_dim = 2 if n % 2 == 0 and n > 1 else 1
         else:
-            spp_dim = 1
+            from raytracingc_tpu.parallel.sharded import strategy_spp_dim
+
+            spp_dim = strategy_spp_dim(strategy, len(jax.devices()))
 
     n_batches = (spp + batch_spp - 1) // batch_spp
     acc = jnp.zeros((height, width, 3), jnp.float32)
