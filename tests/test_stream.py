@@ -179,3 +179,34 @@ def test_stream_threshold_applies_under_default_bitmask_cull(monkeypatch):
     assert calls == ["streamed"], calls
     dx, ix = _search_triangles_xla(o, d, tris)
     np.testing.assert_array_equal(np.asarray(is_), np.asarray(ix))
+
+
+def test_streamed_kernel_under_shard_map(monkeypatch):
+    """The production pod + huge-scene configuration: the tile-streamed
+    kernel must compile and run inside shard_map, and the sharded render
+    must equal the single-device one exactly (the repo's headline
+    invariant), with streaming forced at toy scale."""
+    import jax
+
+    from raytracingc_tpu.camera import Camera
+    from raytracingc_tpu.parallel.sharded import render_sharded
+    from raytracingc_tpu.render.renderer import render
+    from raytracingc_tpu.scene.types import Scene
+    from raytracingc_tpu.scene.builder import _padded_empty_spheres
+
+    monkeypatch.setenv("RTC_STREAM_MAX_T", "256")
+    monkeypatch.setenv("RTC_STREAM_TILE", "256")
+    monkeypatch.setenv("RTC_BRUTE_MAX", "0")  # keep the packet/stream path
+
+    tris, n_live = _soup(700, seed=21)
+    spheres, _ = _padded_empty_spheres(), 0
+    scene = Scene.build(triangles=tris, spheres=spheres)
+    scene = scene.replace(n_triangles=n_live, n_spheres=0).with_accel()
+    cam = Camera.look_at(origin=[0.0, 0.0, -6.0], target=[0.0, 0.0, 0.0])
+
+    w = h = 16
+    ref, c_ref = render(scene, cam, w, h, spp=2, max_bounce=2, seed=5)
+    img, c = render_sharded(scene, cam, w, h, spp=2, max_bounce=2, seed=5,
+                            strategy="pixels")
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+    assert float(c) == float(c_ref)
