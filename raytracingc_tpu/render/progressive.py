@@ -29,6 +29,12 @@ from raytracingc_tpu.scene.types import Scene
 from raytracingc_tpu.utils.checkpoint import load_pytree, save_pytree
 
 
+def _sg_int(sample_group) -> int:
+    """Concrete divisor for the per-batch validity check ("auto" → 1 is
+    always applicable: trace_accumulate resolves it per batch)."""
+    return 1 if sample_group == "auto" else int(sample_group)
+
+
 def render_progressive(
     scene: Scene,
     camera: Camera,
@@ -45,6 +51,7 @@ def render_progressive(
     on_batch: Callable[[int, int, jax.Array], None] | None = None,
     mesh=None,
     shard_strategy: str | None = None,
+    sample_group: int | str = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Render ``spp`` samples in batches of ``batch_spp`` with checkpoints.
 
@@ -116,6 +123,8 @@ def render_progressive(
                 max_bounce=max_bounce, seed=seed, backend=backend,
                 strategy=shard_strategy or "pixels", mesh=mesh,
                 sample_offset=jnp.uint32(done_spp),
+                sample_group=sample_group if this % _sg_int(sample_group) == 0
+                else 1,
             )
         else:
             img, c = render(
@@ -128,6 +137,10 @@ def render_progressive(
                 seed=seed,
                 backend=backend,
                 sample_offset=jnp.uint32(done_spp),
+                # The final partial batch may not divide the group; drop to
+                # the ungrouped schedule there rather than erroring.
+                sample_group=sample_group if this % _sg_int(sample_group) == 0
+                else 1,
             )
         acc = acc + img * np.float32(this)  # de-average back to a sum
         count = count + c
