@@ -31,9 +31,10 @@ gather.
 
 Numerics: the matmul associates dot products differently from the VPU
 sequence (and ``t′ = o·Ng − A·Ng`` cancels where the VPU form subtracts
-``o − A`` first), so results agree with the packet kernels to ~1e-5
-relative rather than bitwise; winners can differ only where two distances
-collide within that noise. Per-lane results remain DETERMINISTIC and
+``o − A`` first), so distances agree with the packet kernels to ~2e-4
+RELATIVE rather than bitwise (the t′ cancellation dominates; tested in
+``tests/test_intersect_mxu.py``); winners can differ only where two
+distances collide within that noise. Per-lane results remain DETERMINISTIC and
 independent of chunking/compaction (matmul rows are independent), so the
 sharded == single-device and chunking-invariance properties still hold
 exactly for renders that use this kernel throughout.

@@ -902,9 +902,9 @@ def search_triangles_pallas(
     ``variant``: ``"auto"`` (measured dispatch: brute kernel for tiny
     scenes, packet kernel otherwise), ``"packet"``/``"brute"`` to force
     those, or ``"mxu"`` for the matmul Möller–Trumbore kernel
-    (``intersect_mxu.py`` — results within ~1e-5 of the VPU kernels, see
-    its module docstring). ``None`` reads ``RTC_KERNEL`` (default
-    ``"auto"``).
+    (``intersect_mxu.py`` — winner indices match the VPU kernels; distances
+    agree to ~2e-4 RELATIVE, the tested contract, see its module
+    docstring). ``None`` reads ``RTC_KERNEL`` (default ``"auto"``).
 
     ``n_live``: the live (unpadded) triangle count. Scenes with at most
     ``BRUTE_MAX_TRIS`` live triangles use the ray-major brute kernel

@@ -20,6 +20,7 @@ LADDER = [
     ("simplest.obj", 1),
     ("plane.obj", 2),
     ("simple.obj", None),  # references a missing test.mtl (warning path)
+    ("cplane.obj", 12),
     ("cube.obj", 12),
     ("fcube.obj", None),
     ("ccube.obj", None),
@@ -31,6 +32,9 @@ LADDER = [
     ("suze.obj", None),
     ("suzannes.obj", 3868),
     ("ultracomplex.obj", 120),
+    # f v/vt/vn with REAL vt indices (a distinct parser path from the
+    # vt-less exports above) — all 16 bundled OBJ+MTL pairs are now pinned.
+    ("withtexture.obj", 20),
 ]
 
 
@@ -66,7 +70,9 @@ def test_rsuzanne_emissive_eyes(models_dir):
     assert (mesh.emission == 10.0).any()
 
 
-@pytest.mark.parametrize("name", ["plane.obj", "4geoms.obj", "ultracomplex.obj"])
+@pytest.mark.parametrize(
+    "name", ["plane.obj", "4geoms.obj", "ultracomplex.obj", "withtexture.obj"]
+)
 def test_ladder_renders(models_dir, name):
     path = os.path.join(models_dir, name)
     if not os.path.exists(path):
