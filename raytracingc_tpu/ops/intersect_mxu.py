@@ -33,8 +33,23 @@ Numerics: the matmul associates dot products differently from the VPU
 sequence (and ``t′ = o·Ng − A·Ng`` cancels where the VPU form subtracts
 ``o − A`` first), so distances agree with the packet kernels to ~2e-4
 RELATIVE rather than bitwise (the t′ cancellation dominates; tested in
-``tests/test_intersect_mxu.py``); winners can differ only where two
-distances collide within that noise. Per-lane results remain DETERMINISTIC and
+``tests/test_intersect_mxu.py``). Two precision modes
+(``RTC_MXU_PRECISION``):
+
+* ``"split3"`` (default) — manual hi/lo-bf16 3-pass matmul for the five
+  comparison planes + a HIGHEST f32 dot for t′ (see ``_mxu_block_test``).
+  Same ~2e-4 distance contract (t′ precision is unchanged), but the
+  VALIDITY tests (u, v, u+v, det, dn) carry ~2⁻¹⁷-of-monomial-scale error,
+  so hit/miss decisions within ~1e-4 of a barycentric edge can flip vs
+  f32 — razor-edge cases where f32 itself is one rounding away from the
+  opposite answer. Winner mismatches are confined to those boundaries
+  (tested: ``test_mxu_split3_accuracy`` checks every mismatch against the
+  exact-arithmetic boundary margin). Per-lane results remain deterministic
+  and chunking/sharding-invariant (the split bits are a pure function of
+  the eagerly-packed table).
+* ``"highest"`` — the 6-pass decomposition on every plane: exact winner
+  parity with the f32 search (``test_mxu_matches_xla_search``), ~1.33×
+  the matmul cost. Per-lane results remain DETERMINISTIC and
 independent of chunking/compaction (matmul rows are independent), so the
 sharded == single-device and chunking-invariance properties still hold
 exactly for renders that use this kernel throughout.
@@ -123,6 +138,19 @@ def pack_coeffs_mxu(tris: Triangles, orig_idx: jax.Array) -> jax.Array:
     return quant.transpose(1, 0, 2, 3).reshape(t * N_QUANT, FEATS)
 
 
+def _split_bf16(x):
+    """2-way hi/lo bf16 split: ``x ≈ hi + lo`` with ~16 mantissa bits kept.
+
+    ``hi`` is the bf16 rounding of ``x``; ``lo`` the bf16 rounding of the
+    residual. Integers < 2¹⁶ (and the 2³⁰ padding sentinel) split EXACTLY:
+    the residual of an integer < 2⁸ is itself bf16-representable — so the
+    original-index plane survives the 3-pass scheme bit-exactly.
+    """
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _build_features(rays_ref):
     """(7, 8, COLS) ray planes → (16, R) feature matrix, lane = s*COLS + col."""
     comps = []
@@ -146,23 +174,55 @@ def _build_features(rays_ref):
     )  # (16, R)
 
 
-def _mxu_block_test(feats, coef_ref, j, best_d, best_i, *, precision):
+def _mxu_block_test(feats, coef_ref, j, best_d, best_i, *, precision,
+                    split=None):
     """One 128-triangle block against all R rays: matmul + epilogue.
 
     ``best_d``/``best_i`` are ``(1, R)`` f32 running (distance, orig index)
     carries; index rides in f32 (see module docstring).
+
+    ``split``: when set, the manual hi/lo-bf16 3-pass path —
+    ``(feats_hi, feats_lo, coef_hi_ref, coef_lo_ref, coef_tp_ref)``. The
+    five comparison planes (det, dn, u′, v′, index) come from THREE bf16
+    matmuls (``ch@fh + ch@fl + cl@fh`` — ~2⁻¹⁷-relative error, far inside
+    the EPSILON-scale tests; the index plane is exact, see
+    :func:`_split_bf16`) while t′ keeps a HIGHEST-precision f32 dot on its
+    own 128 rows: t′ = o·Ng − A·Ng cancels catastrophically (|o·Ng| ≫ t′),
+    and the measured ~2e-4-relative distance contract comes from f32
+    rounding through that cancellation — a 3-pass t′ would be ~64× coarser
+    and break the documented tolerance. Total matmul cost: 768·3 bf16-pass
+    rows + 128 HIGHEST rows (≈6 bf16-pass-equivalent) ≈ 3456 vs the 6-pass
+    HIGHEST baseline's 4608 — a 1.33× matmul reduction at unchanged
+    accuracy contract.
     """
-    off = pl.multiple_of(j * ROWS_PER_BLOCK, ROWS_PER_BLOCK)
-    coef = coef_ref[pl.ds(off, ROWS_PER_BLOCK), :]  # (768, 16)
-    m = jax.lax.dot_general(
-        coef, feats, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )  # (768, R)
+    if split is not None:
+        fh, fl, coef_hi_ref, coef_lo_ref, coef_tp_ref = split
+        off = pl.multiple_of(j * ROWS_PER_BLOCK, ROWS_PER_BLOCK)
+        ch = coef_hi_ref[pl.ds(off, ROWS_PER_BLOCK), :]  # (768, 16) bf16
+        cl = coef_lo_ref[pl.ds(off, ROWS_PER_BLOCK), :]  # (768, 16) bf16
+        dims = (((1,), (0,)), ((), ()))
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32
+        )
+        m = dot(ch, fh) + dot(ch, fl) + dot(cl, fh)  # (768, R) f32
+        offt = pl.multiple_of(j * TRI_LANES, TRI_LANES)
+        tp = jax.lax.dot_general(
+            coef_tp_ref[pl.ds(offt, TRI_LANES), :], feats, dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (128, R) f32 — exact-f32 t′ (the cancellation-sensitive plane)
+    else:
+        off = pl.multiple_of(j * ROWS_PER_BLOCK, ROWS_PER_BLOCK)
+        coef = coef_ref[pl.ds(off, ROWS_PER_BLOCK), :]  # (768, 16)
+        m = jax.lax.dot_general(
+            coef, feats, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # (768, R)
+        tp = m[4 * TRI_LANES : 5 * TRI_LANES]
     det = m[0 * TRI_LANES : 1 * TRI_LANES]
     dn = m[1 * TRI_LANES : 2 * TRI_LANES]
     up = m[2 * TRI_LANES : 3 * TRI_LANES]
     vp = m[3 * TRI_LANES : 4 * TRI_LANES]
-    tp = m[4 * TRI_LANES : 5 * TRI_LANES]
     oif = m[5 * TRI_LANES : 6 * TRI_LANES]
 
     # Identical hit-test semantics to the VPU kernels (raytracing.c:186-214):
@@ -200,13 +260,12 @@ def _search_kernel_mxu(
     words_ref,  # (G * n_words,) i32 SMEM — per-program union hit-bit words
     deb_ref,  # (32,) i32 SMEM — De Bruijn bit-index table
     rays_ref,  # (7, 8, COLS) f32 VMEM
-    coef_ref,  # (T*6, 16) f32 VMEM
-    dst_ref,  # (8, COLS) f32 out
-    idx_ref,  # (8, COLS) i32 out
-    *,
+    *coef_refs,  # highest: ((T*6,16) f32,); split3: (hi bf16, lo bf16, tp f32)
     n_words: int,
     precision,
+    split3: bool = False,
 ):
+    *coef_refs, dst_ref, idx_ref = coef_refs
     cols = dst_ref.shape[1]
     r = RAY_SUBLANES * cols
     dst_ref[:, :] = jnp.full((RAY_SUBLANES, cols), MISS_DST, jnp.float32)
@@ -217,6 +276,14 @@ def _search_kernel_mxu(
     @pl.when(alive_ref[pid] != 0)
     def _run():
         feats = _build_features(rays_ref)
+        if split3:
+            coef_hi_ref, coef_lo_ref, coef_tp_ref = coef_refs
+            fh, fl = _split_bf16(feats)
+            split = (fh, fl, coef_hi_ref, coef_lo_ref, coef_tp_ref)
+            coef_ref = None
+        else:
+            (coef_ref,) = coef_refs
+            split = None
 
         best = (
             jnp.full((1, r), MISS_DST, jnp.float32),
@@ -233,7 +300,8 @@ def _search_kernel_mxu(
                 lsb = m & (-m)
                 j = deb_ref[((lsb * jnp.int32(_DEBRUIJN)) >> 27) & 31]
                 bd, bi = _mxu_block_test(
-                    feats, coef_ref, base + j, bd, bi, precision=precision
+                    feats, coef_ref, base + j, bd, bi, precision=precision,
+                    split=split,
                 )
                 return (m & (m - 1), bd, bi)
 
@@ -265,11 +333,39 @@ def _search_padded_mxu(alive_flags, words, rays_planes, coeffs,
                        n_words, interpret=False, precision="highest"):
     n_cols = rays_planes.shape[2]
     t6 = coeffs.shape[0]
+    t = t6 // N_QUANT
     grid = (n_cols // COLS_PER_PROGRAM,)
-    prec = jax.lax.Precision(precision)
+    split3 = precision == "split3"
+    prec = jax.lax.Precision("highest" if split3 else precision)
+
+    if split3:
+        # Deterministic element-wise casts of the eagerly-packed table: the
+        # split bits are a pure function of the f32 coefficients, so the
+        # fixed-bits-per-scene property survives. t′ rows are re-sliced to a
+        # (T, 16) f32 plane for the HIGHEST-precision dot (see
+        # _mxu_block_test).
+        coef_hi, coef_lo = _split_bf16(coeffs)
+        coef_tp = coeffs.reshape(t // TRI_LANES, N_QUANT, TRI_LANES, FEATS)[
+            :, 4
+        ].reshape(t, FEATS)
+        coef_args = (coef_hi, coef_lo, coef_tp)
+        coef_specs = [
+            pl.BlockSpec((t6, FEATS), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t6, FEATS), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, FEATS), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        coef_args = (coeffs,)
+        coef_specs = [
+            pl.BlockSpec((t6, FEATS), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
 
     kernel = functools.partial(
-        _search_kernel_mxu, n_words=n_words, precision=prec
+        _search_kernel_mxu, n_words=n_words, precision=prec, split3=split3
     )
     dst, idx = pl.pallas_call(
         kernel,
@@ -283,8 +379,7 @@ def _search_padded_mxu(alive_flags, words, rays_planes, coeffs,
                 lambda g: (0, 0, g),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((t6, FEATS), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
+            *coef_specs,
         ],
         out_specs=[
             pl.BlockSpec(
@@ -310,5 +405,5 @@ def _search_padded_mxu(alive_flags, words, rays_planes, coeffs,
         ),
         interpret=interpret,
     )(alive_flags, words,
-      jnp.asarray(_DEBRUIJN_TABLE, jnp.int32), rays_planes, coeffs)
+      jnp.asarray(_DEBRUIJN_TABLE, jnp.int32), rays_planes, *coef_args)
     return dst, idx

@@ -1113,13 +1113,18 @@ def search_triangles_pallas(
         coeffs = accel.mxu_coeffs
         if coeffs is None:
             coeffs = pack_coeffs_mxu(tris, accel.orig_idx)
-        # Precision is pinned to HIGHEST (6-pass bf16 decomposition): Mosaic's
-        # dot lowering rejects Precision.HIGH (3-pass), and DEFAULT (1-pass
-        # bf16) is far too coarse for EPSILON-scale hit tests. A manual
-        # hi/lo-bf16 3-pass split is the known future speed lever here.
+        # Precision: "split3" (default) is the manual hi/lo-bf16 3-pass
+        # split for the five comparison planes with t′ kept at a
+        # HIGHEST-precision f32 dot (the cancellation-sensitive plane —
+        # see _mxu_block_test's docstring); "highest" (RTC_MXU_PRECISION)
+        # reverts to the round-3 6-pass decomposition on every plane.
+        # Mosaic's dot lowering rejects Precision.HIGH (XLA's own 3-pass)
+        # and DEFAULT (1-pass bf16) is far too coarse for EPSILON-scale hit
+        # tests, hence the manual split.
+        mxu_precision = os.environ.get("RTC_MXU_PRECISION", "split3")
         dst, idx = _search_padded_mxu(
             alive_flags, words.reshape(-1), rays_planes, coeffs,
-            n_words=n_words, interpret=interpret, precision="highest",
+            n_words=n_words, interpret=interpret, precision=mxu_precision,
         )
         dst = dst.T.reshape(r_padded)[:r]
         idx = idx.T.reshape(r_padded)[:r]

@@ -42,7 +42,9 @@ def _random_rays(seed, r=2048, spread=6.0):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-def test_mxu_matches_xla_search():
+def test_mxu_matches_xla_search(monkeypatch):
+    """The HIGHEST (6-pass) mode: exact winner parity — the strict contract."""
+    monkeypatch.setenv("RTC_MXU_PRECISION", "highest")
     tris, n_live = _random_soup()
     accel = build_accel(tris, n_live)
     o, d = _random_rays(11)
@@ -55,6 +57,54 @@ def test_mxu_matches_xla_search():
     assert hit.sum() > 100  # the fixture must actually exercise hits
     np.testing.assert_allclose(
         np.asarray(dst_m)[hit], np.asarray(dst_x)[hit], rtol=2e-4)
+
+
+def _boundary_margin(o, d, tris, t):
+    """f64 distance of triangle ``t``'s hit test from its nearest validity
+    boundary (u, v, 1-u-v, |det|-EPS, dst-EPS, -dn), normalized to the
+    barycentric scale — tiny means a razor-edge case any rounding can flip."""
+    a, b, c, n = (np.asarray(x[t], np.float64)
+                  for x in (tris.a, tris.b, tris.c, tris.normal))
+    o, d = np.asarray(o, np.float64), np.asarray(d, np.float64)
+    ab, ac = b - a, c - a
+    h = np.cross(d, ac)
+    det = ab @ h
+    if abs(det) < 1e-12:
+        return 0.0
+    s = o - a
+    u = (s @ h) / det
+    v = (d @ np.cross(s, ab)) / det
+    return float(min(abs(u), abs(1.0 - u), abs(v), abs(u + v - 1.0)))
+
+
+def test_mxu_split3_accuracy():
+    """The split3 (default) mode's documented contract: distances of agreeing
+    winners within ~2e-4 relative (same t′ precision as HIGHEST); winner
+    mismatches ONLY at validity boundaries — rays whose losing/winning
+    triangle sits within ~1e-3 of a barycentric edge in exact arithmetic —
+    and rare (<0.5%)."""
+    tris, n_live = _random_soup()
+    accel = build_accel(tris, n_live)
+    o, d = _random_rays(11)
+    dst_x, idx_x = _search_triangles_xla(o, d, tris)
+    dst_m, idx_m = search_triangles_pallas(
+        o, d, tris, accel=accel, n_live=n_live, variant="mxu")
+    idx_x, idx_m = np.asarray(idx_x), np.asarray(idx_m)
+    mismatch = np.nonzero(idx_x != idx_m)[0]
+    assert len(mismatch) <= max(1, int(0.005 * len(idx_x))), (
+        f"{len(mismatch)} winner mismatches — split3 band too wide")
+    for i in mismatch:
+        margins = [
+            _boundary_margin(o[i], d[i], tris, t)
+            for t in (int(idx_x[i]), int(idx_m[i])) if t >= 0
+        ]
+        assert margins and min(margins) < 1e-3, (
+            f"lane {i}: winner flip NOT at a validity boundary "
+            f"(margins {margins})")
+    agree = (idx_x == idx_m) & (idx_x >= 0)
+    assert agree.sum() > 100
+    np.testing.assert_allclose(
+        np.asarray(dst_m)[agree], np.asarray(dst_x)[agree], rtol=2e-4)
 
 
 def test_mxu_tie_breaks_toward_lowest_original_index():
