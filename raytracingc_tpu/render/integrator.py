@@ -244,10 +244,23 @@ def trace_accumulate(
     active: jax.Array | None = None,
     early_exit: bool = False,
     sample_batch: int | str = 1,
-    compact: bool = False,
+    compact: bool = True,
     sample_group: int | str = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Average ``spp`` samples per ray (``main.c:98-99``'s 1/N accumulation).
+
+    Mode matrix (``early_exit``, ``compact``):
+
+    * ``(True, True)`` — production forward: hit-front accumulation +
+      while_loop tier cascade. Fastest; NOT reverse-differentiable.
+    * ``(False, True)`` — the DEFAULT here: differentiable fast forward.
+      Same hit-front selection and ``light0*spp + sum(rest)`` association
+      (bit-identical forward values to the production path), but the
+      continuation is a fixed-length ``lax.scan`` in the compacted domain —
+      reverse-differentiable while still skipping all primary-miss lanes.
+    * ``(False, False)`` — plain full-width fixed-length scan (the reference
+      baseline semantics; associates ``sum_s(light0 + rest_s)``). Slow;
+      kept as the independent oracle the equivalence tests compare against.
 
     Each sample gets an independent RNG stream keyed by
     (seed, ray_id, sample_id) — so per-lane radiance values are identical
@@ -278,10 +291,11 @@ def trace_accumulate(
             raise ValueError(
                 f"sample_group={sample_group} must divide spp={spp}"
             )
-        if not early_exit:
+        if not (early_exit or compact):
             raise ValueError(
-                "sample_group>1 requires early_exit=True (the hit-front "
-                "accumulator); the fixed-length scan ignores it"
+                "sample_group>1 requires the hit-front accumulator "
+                "(early_exit=True or compact=True); the plain fixed-length "
+                "scan ignores it"
             )
         if sample_batch != 1:
             raise ValueError(
@@ -335,11 +349,21 @@ def trace_accumulate(
         )
         return acc / jnp.float32(spp), total
 
-    if early_exit and max_bounce >= 1:
+    if (early_exit or compact) and max_bounce >= 1:
         # Entry-width ladder: tightest first. The suzannes bench's typical
         # chunk has ~11% hit lanes, so most chunks enter at R/8 — halving
         # the per-sample search width and the cascade-transition cost vs a
         # fixed R/4 entry.
+        #
+        # ``early_exit=False, compact=True`` is the DIFFERENTIABLE fast
+        # forward (VERDICT r3 item 3): the same hit-front structure — the
+        # per-chunk compaction permutation depends only on the deterministic
+        # (stop-gradient) ``hit0.hit``, and every gather/scatter here is
+        # reverse-differentiable — but the per-sample continuation runs as a
+        # fixed-length ``lax.scan`` in the compacted k0 domain instead of
+        # the while_loop cascade. Gradients flow while all primary-miss
+        # lanes are skipped; association identical to the production path
+        # (``light0*spp + sum(rest)``).
         k0s = [
             k for k in (r // 8, r // 4)
             if compact and k >= 1024 and r % k == 0
@@ -356,7 +380,7 @@ def trace_accumulate(
         return _hit_front_accumulate(
             origins, dirs, scene, ray_ids, seed_arr, offset, spp,
             max_bounce, backend, active, hit0, k0s, compact,
-            sample_group=sample_group,
+            sample_group=sample_group, early_exit=early_exit,
         )
 
     def sample(carry, sample_id):
@@ -404,6 +428,7 @@ def _alive_front_perm(mask: jax.Array) -> jax.Array:
 def _hit_front_accumulate(
     origins, dirs, scene, ray_ids, seed_arr, offset, spp,
     max_bounce, backend, active, hit0, k0s, compact, sample_group=1,
+    early_exit=True,
 ):
     """Sample accumulation with per-CHUNK hit-front compaction.
 
@@ -435,9 +460,20 @@ def _hit_front_accumulate(
     ``light0 * spp + sum_s(rest_s)`` with identical per-lane arithmetic
     (compaction itself is bit-identical), so the result does NOT depend on
     which branch ran — which keeps the sharded == single-device invariant
-    EXACT regardless of per-shard chunk statistics. Only the fixed-length
-    scan path (``early_exit=False``) associates differently
-    (``sum_s(light0 + rest_s)``), agreeing to float re-association.
+    EXACT regardless of per-shard chunk statistics. Only the plain
+    fixed-length scan path (``early_exit=False, compact=False``) associates
+    differently (``sum_s(light0 + rest_s)``), agreeing to float
+    re-association.
+
+    ``early_exit=False`` (with ``compact=True``) is the DIFFERENTIABLE fast
+    forward: the same hit-front selection (the permutation depends only on
+    the deterministic ``hit0.hit`` — a boolean, so its "gradient" is the
+    standard visibility-frozen subgradient this repo already pins for
+    vertices), but each sample's continuation runs bounces 1..N-1 as a
+    fixed-length ``lax.scan`` in the compacted k0 domain — every op on the
+    path (row-gather, switch, scan, inverse-permutation gather) is
+    reverse-differentiable, while all primary-miss lanes are skipped
+    exactly as in the production path.
     """
     r = origins.shape[0]
     act = jnp.ones((r,), bool) if active is None else active
@@ -496,7 +532,7 @@ def _hit_front_accumulate(
                 alive1 = valid_b & (p_b >= u_rr)
                 light_b, cnt = trace_paths(
                     point_b, new_dir, state, scene, max_bounce - 1,
-                    backend=backend, active=alive1, early_exit=True,
+                    backend=backend, active=alive1, early_exit=early_exit,
                     compact=compact, throughput0=thr_b,
                 )
                 for k in range(g):  # sequential adds: association == g=1
@@ -523,7 +559,7 @@ def _hit_front_accumulate(
             alive1 = valid & (p >= u_rr)
             light_s, cnt = trace_paths(
                 point, new_dir, state, scene, max_bounce - 1,
-                backend=backend, active=alive1, early_exit=True,
+                backend=backend, active=alive1, early_exit=early_exit,
                 compact=compact, throughput0=thr,
             )
             return (acc + light_s, total + cnt), None

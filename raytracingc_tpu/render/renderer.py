@@ -63,7 +63,11 @@ def render(
     (~1e-6) with exactly equal traced-ray counts, and — by design — is
     IDENTICAL bitwise across any chunking or sharding of the pixel axis
     (every width uses the same ``light0*spp + sum(rest)`` association).
-    NOT reverse-differentiable; pass ``False`` when differentiating.
+    NOT reverse-differentiable; pass ``False`` when differentiating —
+    with ``compact=True`` (the default) that is still the FAST hit-front
+    path (fixed-length continuation in the compacted domain, bit-identical
+    forward values), not the full-width scan; ``compact=False`` selects the
+    plain scan oracle.
 
     ``sample_group`` batches that many samples of the hit-front continuation
     into one widened trace (``"auto"`` targets the 64k sweet spot) — fewer,

@@ -240,7 +240,8 @@ def test_hit_front_accumulator_matches_scan():
 
     scene = _demo_scene()
     cam = Camera.look_at()
-    a, ca = render(scene, cam, 80, 80, spp=3, max_bounce=6, early_exit=False)
+    a, ca = render(scene, cam, 80, 80, spp=3, max_bounce=6, early_exit=False,
+                   compact=False)
     b, cb = render(scene, cam, 80, 80, spp=3, max_bounce=6, compact=True)
     assert float(ca) == float(cb)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -250,7 +251,7 @@ def test_hit_front_accumulator_matches_scan():
     # cond takes the full-width branch (same association as compact).
     cam2 = Camera.look_at(origin=[0.0, -1.0, 0.0], target=[1.0, -1.0, 0.0])
     a2, c2 = render(scene, cam2, 80, 80, spp=2, max_bounce=4,
-                    early_exit=False)
+                    early_exit=False, compact=False)
     b2, c3 = render(scene, cam2, 80, 80, spp=2, max_bounce=4, compact=True)
     assert float(c2) == float(c3)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),

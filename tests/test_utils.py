@@ -79,7 +79,7 @@ def test_early_exit_matches_scan(demo_scene, cam):
     re-association of the bounce-0 light sum; ray counts exactly equal."""
     w = h = 8
     a, ca = render(demo_scene, cam, w, h, spp=2, max_bounce=4, seed=1,
-                   early_exit=False)
+                   early_exit=False, compact=False)
     b, cb = render(demo_scene, cam, w, h, spp=2, max_bounce=4, seed=1,
                    early_exit=True)
     assert float(ca) == float(cb)
