@@ -193,6 +193,7 @@ def nearest_hit(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
+    axis = scene.shard_axis
     if scene_ng.triangles.count == 0:  # sphere-only scene: no triangle pass
         tri_dst = jnp.full(o.shape[:1], MISS_DST, jnp.float32)
         tri_idx = jnp.full(o.shape[:1], -1, jnp.int32)
@@ -201,12 +202,44 @@ def nearest_hit(
 
         tri_dst, tri_idx = search_triangles_pallas(
             o, d, scene_ng.triangles, alive=alive, accel=scene_ng.accel,
-            n_live=scene.n_triangles or None,
+            # Block-sharded: the live count is a GLOBAL static while the
+            # local shard's live range is data-dependent, and the brute/mxu
+            # specialists index the LOCAL original-order slice — force the
+            # accel-table architecture (packet, auto-streamed past the VMEM
+            # ceiling), whose orig_idx carries GLOBAL original indices.
+            # Blocks mode targets scenes far past the specialists' regimes.
+            n_live=(scene.n_triangles or None) if axis is None else None,
+            variant=None if axis is None else "packet",
         )
     else:
         tri_dst, tri_idx = _search_triangles_xla(
             o, d, scene_ng.triangles, chunk=tri_chunk
         )
+        if axis is not None:
+            # The XLA scan indexes the LOCAL original-order slice; globalize
+            # (shards are contiguous original-order ranges).
+            lo = jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
+                scene_ng.triangles.count
+            )
+            tri_idx = jnp.where(tri_dst < MISS_DST, tri_idx + lo, tri_idx)
+
+    if axis is not None and scene_ng.triangles.count > 0:
+        # SURVEY §5.8 block-sharded merge: each device searched its own
+        # triangle shard; fold the per-shard winners with the SAME
+        # (dst, original idx) lexicographic rule the kernels use internally
+        # — min over a partition of the scan order is min over the whole
+        # order, so the merged result is bit-identical to a whole-scene
+        # search (C tie semantics included).
+        d_all = jax.lax.all_gather(tri_dst, axis)  # (n, R)
+        i_all = jax.lax.all_gather(tri_idx, axis)
+        tri_dst, tri_idx = d_all[0], i_all[0]
+        for k in range(1, d_all.shape[0]):
+            dk, ik = d_all[k], i_all[k]
+            take = (dk < tri_dst) | (
+                (dk == tri_dst) & (ik >= 0) & (ik < tri_idx)
+            )
+            tri_dst = jnp.where(take, dk, tri_dst)
+            tri_idx = jnp.where(take, ik, tri_idx)
 
     if scene.n_spheres > 0:
         sph_dst, sph_idx = _search_spheres(o, d, scene_ng.spheres)
@@ -277,7 +310,26 @@ def resolve_hit(o: jax.Array, d: jax.Array, ref: HitRef, scene: Scene) -> Hit:
             ],
             axis=1,
         )  # (T, 17)
-        tri_rows = _rows(tri_table, tri_idx)  # (R, 17)
+        if scene.shard_axis is None:
+            tri_rows = _rows(tri_table, tri_idx)  # (R, 17)
+        else:
+            # Block-sharded (SURVEY §5.8): the winning GLOBAL index lives in
+            # exactly one device's original-order shard. Gather locally for
+            # the lanes this shard owns, zero the rest, and psum over the
+            # axis — the sum is winner_rows + zeros, so every device ends
+            # with the full payload (values equal to the replicated gather;
+            # only inert zero-signs can differ, which no downstream op
+            # exposes — divisions are all where-guarded).
+            axis = scene.shard_axis
+            lo = jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
+                tris.count
+            )
+            mine = tri_sel & (tri_idx >= lo) & (tri_idx < lo + tris.count)
+            local_idx = jnp.where(mine, tri_idx - lo, 0)
+            tri_rows = jnp.where(
+                mine[:, None], _rows(tri_table, local_idx), 0.0
+            )
+            tri_rows = jax.lax.psum(tri_rows, axis)
     else:  # sphere-only scene: no lane ever selects a triangle
         tri_rows = jnp.zeros((o.shape[0], 17), jnp.float32)
         # Degenerate all-zero rows would divide by det=0 below; the EPSILON

@@ -167,6 +167,7 @@ def render_sharded(
     sample_offset: jax.Array | int = 0,
     compact: bool = True,
     sample_group: int | str = 1,
+    scene_sharding: str = "replicated",
 ):
     """Render across all devices. Returns ``(image [H, W, 3], rays_traced)``.
 
@@ -175,15 +176,189 @@ def render_sharded(
     ``"both"`` splits devices across the two axes. An explicit ``mesh``
     overrides the strategy.
 
+    ``scene_sharding``: ``"replicated"`` (default) keeps full triangle
+    buffers on every device; ``"blocks"`` shards them 1/n over the ``px``
+    axis instead (SURVEY §5.8's large-scene layout) — rays are then
+    replicated over ``px`` and per-shard search winners are lex-merged
+    across the axis, bit-identical to replicated (see
+    :func:`render_sharded_blocks`).
+
     ``sample_offset`` shifts every device's sample-id range — the hook for
     progressive/checkpointed accumulation on top of sharded rendering.
     """
     if mesh is None:
         mesh = mesh_for_strategy(strategy, len(jax.devices()))
+    if scene_sharding == "blocks":
+        return render_sharded_blocks(
+            scene, camera, width, height, spp, max_bounce, seed=seed,
+            backend=backend, mesh=mesh, early_exit=early_exit,
+            sample_offset=sample_offset, compact=compact,
+            sample_group=sample_group,
+        )
+    assert scene_sharding == "replicated", scene_sharding
     return _render_sharded_jit(
         scene, camera, width, height, spp, max_bounce, seed, backend, mesh,
         early_exit, sample_offset, compact, sample_group,
     )
+
+
+# -----------------------------------------------------------------------------
+# Block-sharded scene: triangle buffers 1/n per device (SURVEY §5.8).
+# -----------------------------------------------------------------------------
+
+
+def pad_scene_for_blocks(scene: Scene, n: int) -> Scene:
+    """Pad a scene so its triangle buffers shard evenly over ``n`` devices.
+
+    Blocks (128-triangle groups) must divide over the mesh axis; the pad
+    appends inert triangles (all-zero: zero normals fail the backface test,
+    exactly like ``Scene.build``'s lane padding) and — when an accel is
+    attached — REBUILDS it, which reproduces the identical Morton order and
+    block contents for the live triangles (padding rides at the tail with
+    inverted AABBs and sentinel original indices), so renders of the padded
+    scene are bit-identical to the original.
+    """
+    from raytracingc_tpu.ops.accel import BLOCK
+
+    t0 = scene.triangles.count
+    b1 = -(-max(t0 // BLOCK, 1) // n) * n
+    t1 = b1 * BLOCK
+    if t1 == t0:
+        return scene
+    pad = t1 - t0
+    tris = jax.tree_util.tree_map(
+        lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)),
+        scene.triangles,
+    )
+    out = scene.replace(triangles=tris)  # n_triangles (live) unchanged
+    return out.with_accel() if scene.accel is not None else out
+
+
+def _scene_block_specs(scene: Scene):
+    """Per-leaf PartitionSpecs: triangle buffers shard dim 0 over ``px``,
+    spheres/env replicate. Works for both the original-order SoA (resolve
+    tables) and the accel's permuted tables (search) — each shards into
+    contiguous ranges of its own order; the partitions differ per device but
+    merge to the same global result (search returns ORIGINAL indices)."""
+
+    def spec(path, leaf):
+        ks = jax.tree_util.keystr(path)
+        if ks.startswith(".triangles.") or ks.startswith(".accel."):
+            return P("px")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, scene)
+
+
+def render_sharded_blocks(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounce: int,
+    seed: int = 0,
+    backend: str = "auto",
+    mesh: Mesh | None = None,
+    early_exit: bool = True,
+    sample_offset: jax.Array | int = 0,
+    compact: bool = True,
+    sample_group: int | str = 1,
+):
+    """Render with triangle buffers BLOCK-SHARDED 1/n over the ``px`` axis.
+
+    SURVEY §5.8's large-scene layout: instead of replicating the scene and
+    sharding rays, each device holds a contiguous 1/n shard of every
+    triangle buffer (original-order SoA for the differentiable resolve,
+    Morton-block tables for the search) and traces ALL rays against its
+    shard; per-bounce the per-shard winners lex-merge over the axis
+    (``all_gather`` of (dst, original idx) — exactly the kernels' internal
+    tie rule, so the merged winner is bit-identical to a whole-scene
+    search) and the winning payload combines with a masked ``psum``. Rays
+    and shading are replicated over ``px`` — duplicated VPU work that is
+    negligible for the scenes this layout exists for (search cost scales
+    with triangles; per-chip triangle HBM drops to 1/n, see BASELINE.md
+    "block-sharded HBM accounting").
+
+    The ``spp`` mesh axis still shards samples exactly as in the replicated
+    mode. Requires block count % px == 0 — call :func:`pad_scene_for_blocks`
+    first. Returns ``(image [H, W, 3], rays_traced)``.
+    """
+    if mesh is None:
+        mesh = mesh_for_strategy("pixels", len(jax.devices()))
+    return _render_sharded_blocks_jit(
+        scene, camera, width, height, spp, max_bounce, seed, backend, mesh,
+        early_exit, sample_offset, compact, sample_group,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_bounce", "backend", "mesh", "seed",
+        "early_exit", "compact", "sample_group"
+    ),
+)
+def _render_sharded_blocks_jit(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    spp: int,
+    max_bounce: int,
+    seed: int,
+    backend: str,
+    mesh: Mesh,
+    early_exit: bool = True,
+    sample_offset: jax.Array | int = 0,
+    compact: bool = True,
+    sample_group: int | str = 1,
+):
+    px_size = mesh.shape["px"]
+    spp_size = mesh.shape["spp"]
+    assert spp % spp_size == 0, f"spp={spp} not divisible by mesh spp={spp_size}"
+    t = scene.triangles.count
+    if t % (px_size * 128) != 0:
+        raise ValueError(
+            f"block sharding needs triangle padding {t} divisible by "
+            f"px*128={px_size * 128}; run pad_scene_for_blocks(scene, "
+            f"{px_size}) first"
+        )
+    spp_per = spp // spp_size
+    base_offset = jnp.asarray(sample_offset, jnp.uint32)
+
+    origins, dirs = primary_rays(camera, width, height)
+    ray_ids = jnp.arange(width * height, dtype=jnp.uint32)
+
+    def shard_fn(scene, o, d, ids):
+        offset = base_offset + jax.lax.axis_index("spp").astype(
+            jnp.uint32
+        ) * jnp.uint32(spp_per)
+        # The static tag routes nearest_hit/resolve_hit into their
+        # cross-shard merge paths (ops/intersect.py).
+        scene = scene.replace(shard_axis="px")
+        radiance, count = trace_accumulate(
+            o, d, scene, ids,
+            seed=seed, spp=spp_per, max_bounce=max_bounce, backend=backend,
+            sample_offset=offset, early_exit=early_exit, compact=compact,
+            sample_group=sample_group,
+        )
+        radiance = jax.lax.pmean(radiance, "spp")
+        # Every px rank traced every (logical) ray of its spp shard — the
+        # count is already replicated over px; sum samples only.
+        count = jax.lax.psum(count, "spp")
+        return radiance, count
+
+    radiance, count = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(_scene_block_specs(scene), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(scene, origins, dirs, ray_ids)
+
+    image = radiance.reshape(height, width, 3)
+    return image, count
 
 
 # -----------------------------------------------------------------------------

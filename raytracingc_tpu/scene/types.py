@@ -147,6 +147,13 @@ class Scene(struct.PyTreeNode):
     accel: Any = None
     n_triangles: int = struct.field(pytree_node=False, default=0)
     n_spheres: int = struct.field(pytree_node=False, default=0)
+    # Block-sharded scenes (SURVEY §5.8 "block-sharded with all_gather",
+    # ``parallel.sharded.render_sharded_blocks``): the mesh-axis name over
+    # which this device's triangle buffers are a 1/n shard. When set, the
+    # search lex-merges per-shard winners across the axis and the resolve
+    # psum-combines the winner's payload; rays are replicated over the axis.
+    # None (default) = every triangle buffer is whole on this device.
+    shard_axis: str | None = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def build(

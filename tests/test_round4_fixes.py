@@ -95,3 +95,131 @@ def test_diff_fast_is_default_for_diff_callers(demo_scene, wide_rays):
     )
     assert float(c_default) == float(c_prod)
     np.testing.assert_array_equal(np.asarray(default), np.asarray(prod))
+
+
+# -----------------------------------------------------------------------------
+# VERDICT r3 item 4: block-sharded scene buffers (SURVEY §5.8).
+# -----------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def box_scene():
+    """Tessellated triangles.txt box: enough triangles that 8-way block
+    sharding is non-trivial (224 live -> padded to 1024 = 8 blocks)."""
+    from raytracingc_tpu.scene.builder import (
+        scene_from_triangles_txt,
+        tessellate,
+    )
+    from raytracingc_tpu.scene.types import Scene
+
+    s0 = scene_from_triangles_txt("/root/reference/triangles.txt")
+    tris, n = tessellate(s0.triangles, s0.n_triangles, levels=2)
+    sc = Scene.build(triangles=tris, spheres=s0.spheres, env=s0.env)
+    return sc.replace(n_triangles=n, n_spheres=s0.n_spheres).with_accel()
+
+
+def test_pad_scene_for_blocks_is_inert(box_scene, cam):
+    from raytracingc_tpu.parallel.sharded import pad_scene_for_blocks
+    from raytracingc_tpu.render.renderer import render
+
+    padded = pad_scene_for_blocks(box_scene, 8)
+    assert padded.triangles.count % (8 * 128) == 0
+    assert padded.n_triangles == box_scene.n_triangles
+    a, ca = render(box_scene, cam, 16, 16, spp=2, max_bounce=3, seed=3)
+    b, cb = render(padded, cam, 16, 16, spp=2, max_bounce=3, seed=3)
+    assert float(ca) == float(cb)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("strategy", ["pixels", "both"])
+def test_block_sharded_render_bitwise_equals_replicated(
+    box_scene, cam, strategy
+):
+    """SURVEY §5.8 'block-sharded with all_gather': triangle buffers 1/n per
+    device must render BIT-IDENTICALLY to the replicated single-device path
+    (the lex-merge of per-shard winners is min over a partition of the scan
+    order; the psum payload combine adds only zeros)."""
+    from raytracingc_tpu.parallel.sharded import (
+        mesh_for_strategy,
+        pad_scene_for_blocks,
+        render_sharded,
+    )
+    from raytracingc_tpu.render.renderer import render
+
+    mesh = mesh_for_strategy(strategy, 8)
+    padded = pad_scene_for_blocks(box_scene, mesh.shape["px"])
+    ref, c_ref = render(padded, cam, 16, 16, spp=2, max_bounce=3, seed=5)
+    img, c_sh = render_sharded(
+        padded, cam, 16, 16, spp=2, max_bounce=3, seed=5, mesh=mesh,
+        scene_sharding="blocks",
+    )
+    assert float(c_ref) == float(c_sh)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(img))
+
+
+def test_block_sharded_pallas_backend_matches(box_scene, cam):
+    """The accel/pallas search path (interpret mode on CPU) under block
+    sharding: per-shard accel tables slice on block boundaries, so contents
+    are bit-identical to the whole-scene tables."""
+    from raytracingc_tpu.parallel.sharded import (
+        mesh_for_strategy,
+        pad_scene_for_blocks,
+        render_sharded,
+    )
+    from raytracingc_tpu.render.renderer import render
+
+    mesh = mesh_for_strategy("pixels", 8)
+    padded = pad_scene_for_blocks(box_scene, 8)
+    ref, _ = render(padded, cam, 8, 8, spp=1, max_bounce=2, seed=1,
+                    backend="pallas")
+    img, _ = render_sharded(
+        padded, cam, 8, 8, spp=1, max_bounce=2, seed=1, mesh=mesh,
+        scene_sharding="blocks", backend="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(img))
+
+
+def test_block_sharded_search_merge_exact(box_scene, cam):
+    """The load-bearing exactness: the lex-merged per-shard SEARCH winners
+    (hit flag, primitive kind, ORIGINAL index) are integer results and must
+    equal a whole-scene search exactly — no floating-point caveat. (Radiance
+    renders can additionally differ by the repo-wide ~1-ulp cross-program
+    fusion wobble, since blocks mode inserts collectives into the resolve.)"""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from raytracingc_tpu.camera import primary_rays
+    from raytracingc_tpu.ops.intersect import nearest_hit
+    from raytracingc_tpu.parallel.sharded import (
+        _scene_block_specs,
+        mesh_for_strategy,
+        pad_scene_for_blocks,
+    )
+
+    mesh = mesh_for_strategy("pixels", 8)
+    padded = pad_scene_for_blocks(box_scene, 8)
+    origins, dirs = primary_rays(cam, 16, 16)
+
+    ref = nearest_hit(origins, dirs, padded)
+
+    def shard_fn(scene, o, d):
+        return nearest_hit(o, d, scene.replace(shard_axis="px"))
+
+    got = jax.jit(
+        shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(_scene_block_specs(padded), P(), P()),
+            out_specs=P(), check_vma=False,
+        )
+    )(padded, origins, dirs)
+
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    np.testing.assert_array_equal(
+        np.asarray(ref.is_tri), np.asarray(got.is_tri)
+    )
+    np.testing.assert_array_equal(np.asarray(ref.idx), np.asarray(got.idx))
