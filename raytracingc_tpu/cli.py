@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "tile-streamed kernel past ~65k triangles)")
     p.add_argument("--shard", choices=["none", "pixels", "samples"], default="none",
                    help="multi-device sharding strategy")
+    p.add_argument("--scene-sharding", choices=["replicated", "blocks"],
+                   default="replicated",
+                   help="with --shard: replicate triangle buffers on every "
+                   "device (default) or block-shard them 1/n per device "
+                   "(SURVEY 5.8 large-scene layout; bit-matched winners)")
     p.add_argument("--pixel-chunk", type=int, default=None,
                    help="pixels traced per device step (memory bound)")
     p.add_argument("--profile", action="store_true", help="print timing breakdown")
@@ -164,12 +169,24 @@ def main(argv: list[str] | None = None) -> int:
             backend=args.backend, pixel_chunk=args.pixel_chunk,
         )
     else:
-        from raytracingc_tpu.parallel.sharded import render_sharded
+        from raytracingc_tpu.parallel.sharded import (
+            pad_scene_for_blocks,
+            render_sharded,
+            strategy_spp_dim,
+        )
 
+        if args.scene_sharding == "blocks":
+            import jax
+
+            n_dev = len(jax.devices())
+            scene = pad_scene_for_blocks(
+                scene, n_dev // strategy_spp_dim(args.shard, n_dev)
+            )
         linear, count = render_sharded(
             scene, cam, width, height,
             spp=args.spp, max_bounce=args.max_bounce, seed=args.seed,
             backend=args.backend, strategy=args.shard,
+            scene_sharding=args.scene_sharding,
         )
     linear = np.asarray(linear)
     t_render = time.time() - t1

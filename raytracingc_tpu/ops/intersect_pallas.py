@@ -390,6 +390,202 @@ def _search_kernel_streamed(
         idx_ref[:, :] = jnp.where(take, acc_i, cur_i)
 
 
+def _search_kernel_streamed_words(
+    alive_ref,  # (G * n_tiles,) i32 SMEM — per-(program, tile) activity
+    words_ref,  # (C * n_tiles,) i32 SMEM — per-(column, tile) superblock bits
+    deb_ref,  # (32,) i32 SMEM — De Bruijn bit-index table
+    rays_ref,  # (7, 8, COLS) f32 VMEM
+    tris_ref,  # (12, TILE) f32 VMEM — THIS TILE's triangle plane
+    oidx_ref,  # (1, TILE) i32 VMEM
+    dst_ref,  # (8, COLS) f32 out — revisited across the tile grid dim
+    idx_ref,  # (8, COLS) i32 out — revisited across the tile grid dim
+    *,
+    blocks_per_tile: int,
+    n_tiles: int,
+    granule: int,
+):
+    """Hierarchically-culled streamed search (VERDICT r3 item 5).
+
+    The range-streamed kernel scans the contiguous [first, last] block span
+    clipped to the tile — measured 63.6% DEAD interior blocks on the
+    suzannes bench (BASELINE.md bitmask A/B), a fraction that grows with
+    block count. Here each (column, tile) carries ONE i32 word whose bit j
+    covers the ``granule`` blocks [j*granule, (j+1)*granule) of the tile
+    (granule = ceil(blocks_per_tile/31), e.g. 5 for 16k-triangle tiles);
+    the kernel walks exactly the SET bits (the same De Bruijn scalar walk
+    as the resident bitmask kernel) — dead superblocks cost nothing.
+    Results are bit-identical to the range kernel: the bits come from the
+    same slab tests, every slab-passing block is still scanned, and
+    ``_mt_block_test`` + the cross-tile lex merge are shared.
+    """
+    cols = dst_ref.shape[1]
+    shape = (RAY_SUBLANES, cols)
+    pid = pl.program_id(0)
+    tid = pl.program_id(1)
+    col_base = pid * cols
+
+    @pl.when(tid == 0)
+    def _init():
+        dst_ref[:, :] = jnp.full(shape, MISS_DST, jnp.float32)
+        idx_ref[:, :] = jnp.full(shape, -1, jnp.int32)
+
+    @pl.when(alive_ref[pid * n_tiles + tid] != 0)
+    def _run():
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        ray_tiles = tuple(rays_ref[k] for k in range(6))
+
+        def per_column(i, acc):
+            acc_d, acc_i = acc
+            m0 = words_ref[(col_base + i) * n_tiles + tid]
+            col_mask = col_iota == i
+            ray = _extract_column(ray_tiles, col_mask)
+
+            def bit_body(carry):
+                m, bd, bi = carry
+                lsb = m & (-m)
+                j = deb_ref[((lsb * jnp.int32(_DEBRUIJN)) >> 27) & 31]
+                start = j * jnp.int32(granule)
+                end = jnp.minimum(
+                    start + jnp.int32(granule), jnp.int32(blocks_per_tile)
+                )
+
+                def per_tri_chunk(jj, carry2):
+                    return _mt_block_test(ray, tris_ref, oidx_ref, jj,
+                                          *carry2)
+
+                bd, bi = jax.lax.fori_loop(start, end, per_tri_chunk,
+                                           (bd, bi))
+                return (m & (m - 1), bd, bi)
+
+            init = (
+                m0,
+                jnp.full((RAY_SUBLANES, TRI_LANES), MISS_DST, jnp.float32),
+                jnp.full((RAY_SUBLANES, TRI_LANES), _BIG_I32, jnp.int32),
+            )
+            _, best_d, best_i = jax.lax.while_loop(
+                lambda c: c[0] != 0, bit_body, init
+            )
+            dmin, imin = _column_argmin(best_d, best_i)
+            acc_d = jnp.where(col_mask, dmin, acc_d)
+            acc_i = jnp.where(col_mask, imin, acc_i)
+            return acc_d, acc_i
+
+        init = (
+            jnp.full(shape, MISS_DST, jnp.float32),
+            jnp.full(shape, -1, jnp.int32),
+        )
+        acc_d, acc_i = jax.lax.fori_loop(0, cols, per_column, init)
+
+        # Same cross-tile lex merge as the range-streamed kernel.
+        cur_d = dst_ref[:, :]
+        cur_i = idx_ref[:, :]
+        take = (acc_d < cur_d) | (
+            (acc_d == cur_d) & (acc_i >= 0) & (acc_i < cur_i)
+        )
+        dst_ref[:, :] = jnp.where(take, acc_d, cur_d)
+        idx_ref[:, :] = jnp.where(take, acc_i, cur_i)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "granule", "interpret")
+)
+def _search_padded_streamed_words(alive_flags, words, rays_planes,
+                                  tris_packed, orig_idx, tile, granule,
+                                  interpret=False):
+    n_cols = rays_planes.shape[2]
+    t = tris_packed.shape[1]
+    assert t % tile == 0 and tile % TRI_LANES == 0
+    n_tiles = t // tile
+    grid = (n_cols // COLS_PER_PROGRAM, n_tiles)
+
+    kernel = functools.partial(
+        _search_kernel_streamed_words,
+        blocks_per_tile=tile // TRI_LANES,
+        n_tiles=n_tiles,
+        granule=granule,
+    )
+    dst, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G * n_tiles,) activity
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (C * n_tiles,) words
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (32,) De Bruijn table
+            pl.BlockSpec(
+                (7, RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g, tt: (0, 0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((12, tile), lambda g, tt: (0, tt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda g, tt: (0, tt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g, tt: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda g, tt: (0, g),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((RAY_SUBLANES, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((RAY_SUBLANES, n_cols), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * RAY_SUBLANES * n_cols * t,
+            bytes_accessed=(6 * RAY_SUBLANES + 2 * RAY_SUBLANES) * n_cols * 4
+            + 13 * t * 4 * (n_cols // COLS_PER_PROGRAM),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(alive_flags, words, jnp.asarray(_DEBRUIJN_TABLE, jnp.int32),
+      rays_planes, tris_packed, orig_idx)
+    return dst, idx
+
+
+def packet_tile_words(o_p, d_p, a_p, accel: TriangleAccel, n_tiles: int,
+                      blocks_per_tile: int, granule: int):
+    """Per-(packet, tile) superblock hit words via AABB slab tests.
+
+    Returns ``(C, n_tiles)`` int32 — bit ``j`` of tile ``t``'s word set iff
+    any of blocks ``[t*bpt + j*granule, ...+granule)`` passes the slab test
+    for any live lane of the packet. Same ``_slab_any_hit`` as the range
+    and bitmask preludes (inverted padding AABBs masked). One tile per
+    ``lax.map`` step bounds peak memory at ``(C, bpt)`` booleans.
+    """
+    inv_p = 1.0 / jnp.where(jnp.abs(d_p) < 1e-20, 1e-20, d_p)
+    n_blocks = accel.aabb_lo.shape[0]
+    bits_per_tile = -(-blocks_per_tile // granule)
+    total = n_tiles * blocks_per_tile
+    big = jnp.float32(3.0e38)
+    lo_g = jnp.pad(accel.aabb_lo, ((0, total - n_blocks), (0, 0)),
+                   constant_values=big)
+    hi_g = jnp.pad(accel.aabb_hi, ((0, total - n_blocks), (0, 0)),
+                   constant_values=-big)
+    lo_g = lo_g.reshape(n_tiles, blocks_per_tile, 3)
+    hi_g = hi_g.reshape(n_tiles, blocks_per_tile, 3)
+    bits = jnp.int32(1) << jnp.arange(bits_per_tile, dtype=jnp.int32)
+    pad_b = bits_per_tile * granule - blocks_per_tile
+
+    def tile_word(args):
+        lo, hi = args
+        any_hit = _slab_any_hit(lo, hi, o_p, inv_p, a_p)  # (C, bpt)
+        grouped = jnp.pad(any_hit, ((0, 0), (0, pad_b))).reshape(
+            any_hit.shape[0], bits_per_tile, granule
+        ).any(axis=2)
+        return jnp.sum(jnp.where(grouped, bits[None, :], 0), axis=1,
+                       dtype=jnp.int32)  # (C,)
+
+    words = jax.lax.map(tile_word, (lo_g, hi_g))  # (n_tiles, C)
+    return words.T  # (C, n_tiles)
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def _search_padded_streamed(alive_flags, first, last, rays_planes,
                             tris_packed, orig_idx, tile, interpret=False):
@@ -1004,6 +1200,22 @@ def search_triangles_pallas(
         # The brute kernel's SMEM is O(n_live); the MXU kernel's is
         # O(G * n_words) — both far under the per-packet budgets.
         max_rays = 262144
+    if (
+        not use_brute and not use_mxu and t_padded > stream_max_t
+        and os.environ.get("RTC_STREAM_CULL",
+                           "words" if auto_cull else "range") == "words"
+    ):
+        # Words-streamed SMEM is (r/8) * n_tiles i32 per call; bound it by
+        # the same ~64k-word ceiling the bitmask bound enforces.
+        tile_e = int(os.environ.get("RTC_STREAM_TILE", STREAM_TILE))
+        tile_e = min(_round_up(tile_e, TRI_LANES),
+                     _round_up(t_padded, TRI_LANES))
+        n_tiles_e = -(-t_padded // tile_e)
+        per_program = RAY_SUBLANES * COLS_PER_PROGRAM
+        max_rays = min(max_rays, max(
+            (524288 // max(n_tiles_e, 1)) // per_program * per_program,
+            per_program,
+        ))
     if r > max_rays:
         outs = [
             search_triangles_pallas(
@@ -1162,7 +1374,7 @@ def search_triangles_pallas(
         if t > stream_max_t:
             # Tile-streamed kernel: O(tile) triangle VMEM (VERDICT r2
             # item 3). Per-(program, tile) activity flags let whole DMA+scan
-            # steps skip when no column's range touches the tile.
+            # steps skip when no column's culling info touches the tile.
             tile = int(os.environ.get("RTC_STREAM_TILE", STREAM_TILE))
             tile = min(_round_up(tile, TRI_LANES), _round_up(t, TRI_LANES))
             tris_packed, orig_idx = _stream_tile_pad(
@@ -1170,22 +1382,50 @@ def search_triangles_pallas(
             )
             n_tiles = tris_packed.shape[1] // tile
             bpt = tile // TRI_LANES
-            tids = jnp.arange(n_tiles, dtype=jnp.int32)
-            act = (
-                (first[:, None] <= last[:, None])
-                & (first[:, None] <= (tids[None, :] + 1) * bpt - 1)
-                & (last[:, None] >= tids[None, :] * bpt)
-            )  # (C, n_tiles)
-            alive_flags = (
-                act.reshape(n_programs, COLS_PER_PROGRAM, n_tiles)
-                .any(axis=1)
-                .astype(jnp.int32)
-                .reshape(-1)
+            # Streamed culling (VERDICT r3 item 5): "words" (default, when
+            # the cull choice is AUTO) walks exactly the slab-hitting
+            # superblocks via per-(column, tile) bit words — the range
+            # kernel's contiguous span scans a measured 63.6% dead interior
+            # blocks. An EXPLICIT cull="range"/RTC_CULL=range request keeps
+            # the range kernel (A/B and bit-identity tests rely on it);
+            # RTC_STREAM_CULL overrides either way. Bit-identical results.
+            stream_cull = os.environ.get(
+                "RTC_STREAM_CULL", "words" if auto_cull else "range"
             )
-            dst, idx = _search_padded_streamed(
-                alive_flags, first, last, rays_planes, tris_packed,
-                orig_idx, tile=tile, interpret=interpret,
-            )
+            if stream_cull == "words":
+                granule = -(-bpt // BITS_PER_WORD)
+                words = packet_tile_words(
+                    o_p, d_p, a_p, accel, n_tiles, bpt, granule
+                )  # (C, n_tiles)
+                alive_flags = (
+                    (words != 0)
+                    .reshape(n_programs, COLS_PER_PROGRAM, n_tiles)
+                    .any(axis=1)
+                    .astype(jnp.int32)
+                    .reshape(-1)
+                )
+                dst, idx = _search_padded_streamed_words(
+                    alive_flags, words.reshape(-1), rays_planes,
+                    tris_packed, orig_idx, tile=tile, granule=granule,
+                    interpret=interpret,
+                )
+            else:
+                tids = jnp.arange(n_tiles, dtype=jnp.int32)
+                act = (
+                    (first[:, None] <= last[:, None])
+                    & (first[:, None] <= (tids[None, :] + 1) * bpt - 1)
+                    & (last[:, None] >= tids[None, :] * bpt)
+                )  # (C, n_tiles)
+                alive_flags = (
+                    act.reshape(n_programs, COLS_PER_PROGRAM, n_tiles)
+                    .any(axis=1)
+                    .astype(jnp.int32)
+                    .reshape(-1)
+                )
+                dst, idx = _search_padded_streamed(
+                    alive_flags, first, last, rays_planes, tris_packed,
+                    orig_idx, tile=tile, interpret=interpret,
+                )
         else:
             # A program can be skipped when EVERY column's range is empty
             # (covers dead lanes and packets that miss the whole scene).

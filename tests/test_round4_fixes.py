@@ -223,3 +223,25 @@ def test_block_sharded_search_merge_exact(box_scene, cam):
         np.asarray(ref.is_tri), np.asarray(got.is_tri)
     )
     np.testing.assert_array_equal(np.asarray(ref.idx), np.asarray(got.idx))
+
+
+def test_cli_scene_sharding_blocks(tmp_path, models_dir):
+    """--shard pixels --scene-sharding blocks produces the same image as the
+    unsharded render (bit-matched winners; tonemapped bytes within 1)."""
+    import os
+
+    from raytracingc_tpu.cli import main
+    from raytracingc_tpu.render.image import read_bmp
+
+    obj = os.path.join(models_dir, "simplest.obj")
+    out1 = str(tmp_path / "plain.bmp")
+    out2 = str(tmp_path / "blocks.bmp")
+    assert main(["-i", obj, "-s", "8", "8", "--spp", "4", "-b", "2",
+                 "-o", out1]) == 0
+    assert main(["-i", obj, "-s", "8", "8", "--spp", "4", "-b", "2",
+                 "--shard", "pixels", "--scene-sharding", "blocks",
+                 "-o", out2]) == 0
+    np.testing.assert_allclose(
+        read_bmp(out2).astype(np.int32), read_bmp(out1).astype(np.int32),
+        atol=1,
+    )

@@ -210,3 +210,58 @@ def test_streamed_kernel_under_shard_map(monkeypatch):
                             strategy="pixels")
     np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
     assert float(c) == float(c_ref)
+
+
+def test_streamed_words_bit_identical_to_range(stream_tiny, monkeypatch):
+    """VERDICT r3 item 5: the hierarchically-culled words-streamed kernel
+    (per-(column, tile) superblock bit words, De Bruijn walk) must be
+    BIT-IDENTICAL to the range-streamed kernel and the resident kernel —
+    the bits come from the same slab tests, so every slab-passing block is
+    still scanned, in the same order."""
+    tris, n_live = _soup(700)  # pads to 768 = 6 blocks -> 3 tiles
+    accel = build_accel(tris, n_live)
+    o, d = _rays(2048, seed=11)
+
+    monkeypatch.setenv("RTC_STREAM_CULL", "words")
+    dw, iw = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
+    monkeypatch.setenv("RTC_STREAM_CULL", "range")
+    dr, ir = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
+    np.testing.assert_array_equal(np.asarray(dw), np.asarray(dr))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ir))
+    monkeypatch.setenv("RTC_STREAM_MAX_T", "10000000")
+    monkeypatch.delenv("RTC_STREAM_CULL")
+    dres, ires = search_triangles_pallas(o, d, tris, accel=accel,
+                                         n_live=n_live)
+    np.testing.assert_array_equal(np.asarray(dw), np.asarray(dres))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ires))
+    assert int(jnp.sum(iw >= 0)) > 100  # not vacuous
+
+
+def test_streamed_words_is_auto_default(stream_tiny, monkeypatch):
+    """AUTO cull on a streamed-size scene takes the words kernel; an
+    explicit cull='range' request keeps the range kernel (the A/B knob)."""
+    tris, n_live = _soup(700)
+    accel = build_accel(tris, n_live)
+    o, d = _rays(1024, seed=12)
+    # words (auto) vs explicitly-forced range must still agree bitwise —
+    # and the words path must engage without any env knob.
+    dw, iw = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
+    dr, ir = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live,
+                                     cull="range")
+    np.testing.assert_array_equal(np.asarray(dw), np.asarray(dr))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ir))
+
+
+def test_streamed_words_respects_alive_mask(stream_tiny, monkeypatch):
+    monkeypatch.setenv("RTC_STREAM_CULL", "words")
+    tris, n_live = _soup(700)
+    accel = build_accel(tris, n_live)
+    o, d = _rays(2048, seed=13)
+    alive = jnp.asarray(np.random.default_rng(14).random(2048) < 0.5)
+    dw, iw = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live,
+                                     alive=alive)
+    monkeypatch.setenv("RTC_STREAM_CULL", "range")
+    dr, ir = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live,
+                                     alive=alive)
+    np.testing.assert_array_equal(np.asarray(dw), np.asarray(dr))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ir))
