@@ -283,9 +283,10 @@ def main() -> int:
     elif pinned_chunk:
         candidates = [(1, pixel_chunk), ("auto", pixel_chunk)]
     else:
+        # Two-point schedule autotune. The third (auto, 128k) candidate was
+        # dropped in round 4: it never won an A/B and only burned compile
+        # budget (BASELINE.md "sample_group settled").
         candidates = [(1, None), ("auto", None)]
-        if mesh is None and width * height > 131072:
-            candidates.append(("auto", 131072))
     # Candidate budget: first-compiles through the TPU tunnel can take
     # minutes each; rather than risk a driver-side timeout killing the run
     # with NO JSON emitted, stop starting new candidates once the elapsed

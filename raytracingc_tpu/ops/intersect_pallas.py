@@ -1175,15 +1175,23 @@ def search_triangles_pallas(
             # Resolve the variant NOW so the max_rays slicing recursion
             # below does not re-trip this gate once per slice.
             variant = "packet"
+    # An EXPLICIT range request (cull="range" param or RTC_CULL=range env)
+    # means the caller wants the contiguous-span kernels — the A/B knob.
+    # Captured BEFORE the downgrade below, which reuses cull="range" as the
+    # bucket for "too big for the exact bitmask" (where the words kernels
+    # are the measured default instead).
+    range_requested = cull == "range"
     if cull == "bitmask":
         # The bitmask kernel unrolls one bit-walk loop per 31-block word;
         # very large scenes would blow up Mosaic compile time and program
         # size. Past ~8 words (~32k triangles) fall back to the bounded
-        # [first, last] range kernel, which handles any block count. The
-        # stream threshold also forces range here so RTC_STREAM_MAX_T works
-        # under the default bitmask cull (streaming is range-only).
+        # kernels that handle any block count (words superblock culling by
+        # default; [first, last] ranges on request). The stream threshold
+        # also forces the fallback here so RTC_STREAM_MAX_T works under
+        # the default bitmask cull.
+        max_words = int(os.environ.get("RTC_BITMASK_MAX_WORDS", 8))
         if (
-            -(-n_blocks_total // BITS_PER_WORD) > 8
+            -(-n_blocks_total // BITS_PER_WORD) > max_words
             or t_padded > stream_max_t
         ):
             cull = "range"
@@ -1203,7 +1211,8 @@ def search_triangles_pallas(
     if (
         not use_brute and not use_mxu and t_padded > stream_max_t
         and os.environ.get("RTC_STREAM_CULL",
-                           "words" if auto_cull else "range") == "words"
+                           "range" if range_requested else "words")
+        == "words"
     ):
         # Words-streamed SMEM is (r/8) * n_tiles i32 per call; bound it by
         # the same ~64k-word ceiling the bitmask bound enforces.
@@ -1369,8 +1378,16 @@ def search_triangles_pallas(
             n_words=n_words, interpret=interpret,
         )
     else:
-        first, last = packet_block_ranges(o_p, d_p, a_p, accel)
-
+        # Words superblock culling is the measured default everywhere the
+        # exact bitmask does not reach (5.3× on the 247k streamed bench;
+        # the range span scans a measured 63.6%+ dead interior blocks).
+        # An explicit range request (param/RTC_CULL) or RTC_STREAM_CULL
+        # keeps the contiguous-span kernels for A/B.
+        use_words = (
+            os.environ.get(
+                "RTC_STREAM_CULL", "range" if range_requested else "words"
+            ) == "words"
+        )
         if t > stream_max_t:
             # Tile-streamed kernel: O(tile) triangle VMEM (VERDICT r2
             # item 3). Per-(program, tile) activity flags let whole DMA+scan
@@ -1382,17 +1399,10 @@ def search_triangles_pallas(
             )
             n_tiles = tris_packed.shape[1] // tile
             bpt = tile // TRI_LANES
-            # Streamed culling (VERDICT r3 item 5): "words" (default, when
-            # the cull choice is AUTO) walks exactly the slab-hitting
-            # superblocks via per-(column, tile) bit words — the range
-            # kernel's contiguous span scans a measured 63.6% dead interior
-            # blocks. An EXPLICIT cull="range"/RTC_CULL=range request keeps
-            # the range kernel (A/B and bit-identity tests rely on it);
-            # RTC_STREAM_CULL overrides either way. Bit-identical results.
-            stream_cull = os.environ.get(
-                "RTC_STREAM_CULL", "words" if auto_cull else "range"
-            )
-            if stream_cull == "words":
+            # Streamed culling (VERDICT r3 item 5): walk exactly the
+            # slab-hitting superblocks via per-(column, tile) bit words.
+            # Bit-identical to the range kernel (same slab tests).
+            if use_words:
                 granule = -(-bpt // BITS_PER_WORD)
                 words = packet_tile_words(
                     o_p, d_p, a_p, accel, n_tiles, bpt, granule
@@ -1410,6 +1420,7 @@ def search_triangles_pallas(
                     interpret=interpret,
                 )
             else:
+                first, last = packet_block_ranges(o_p, d_p, a_p, accel)
                 tids = jnp.arange(n_tiles, dtype=jnp.int32)
                 act = (
                     (first[:, None] <= last[:, None])
@@ -1426,7 +1437,31 @@ def search_triangles_pallas(
                     alive_flags, first, last, rays_planes, tris_packed,
                     orig_idx, tile=tile, interpret=interpret,
                 )
+        elif use_words and n_blocks_total > int(
+            os.environ.get("RTC_BITMASK_MAX_WORDS", 8)
+        ) * BITS_PER_WORD:
+            # RESIDENT words kernel: the 32k–65k regime that outgrew the
+            # exact 8-word bitmask but still fits VMEM — a single-tile
+            # stream (the whole plane is fetched once; the constant index
+            # map is not re-DMA'd). Granule-grouped bits instead of the
+            # range span's dead interior.
+            bpt_r = t // TRI_LANES
+            granule = -(-bpt_r // BITS_PER_WORD)
+            words = packet_tile_words(o_p, d_p, a_p, accel, 1, bpt_r,
+                                      granule)  # (C, 1)
+            alive_flags = (
+                (words != 0)
+                .reshape(n_programs, COLS_PER_PROGRAM)
+                .any(axis=1)
+                .astype(jnp.int32)
+            )
+            dst, idx = _search_padded_streamed_words(
+                alive_flags, words.reshape(-1), rays_planes,
+                tris_packed, orig_idx, tile=t, granule=granule,
+                interpret=interpret,
+            )
         else:
+            first, last = packet_block_ranges(o_p, d_p, a_p, accel)
             # A program can be skipped when EVERY column's range is empty
             # (covers dead lanes and packets that miss the whole scene).
             nonempty = (first <= last).reshape(n_programs, COLS_PER_PROGRAM)

@@ -164,19 +164,26 @@ def test_stream_threshold_applies_under_default_bitmask_cull(monkeypatch):
 
     calls = []
     real = ip._search_padded_streamed
+    real_w = ip._search_padded_streamed_words
 
     def spy(*a, **k):
         calls.append("streamed")
         return real(*a, **k)
 
+    def spy_w(*a, **k):
+        calls.append("streamed-words")
+        return real_w(*a, **k)
+
     monkeypatch.setattr(ip, "_search_padded_streamed", spy)
+    monkeypatch.setattr(ip, "_search_padded_streamed_words", spy_w)
 
     tris, n_live = _soup(700)
     accel = build_accel(tris, n_live)
     o, d = _rays(1024, seed=9)
-    # No cull= argument: the default (bitmask) must still stream.
+    # No cull= argument: the default (bitmask) must still stream — via the
+    # round-4 words cull (the auto default for streamed scenes).
     ds, is_ = ip.search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
-    assert calls == ["streamed"], calls
+    assert calls == ["streamed-words"], calls
     dx, ix = _search_triangles_xla(o, d, tris)
     np.testing.assert_array_equal(np.asarray(is_), np.asarray(ix))
 
@@ -265,3 +272,36 @@ def test_streamed_words_respects_alive_mask(stream_tiny, monkeypatch):
                                      alive=alive)
     np.testing.assert_array_equal(np.asarray(dw), np.asarray(dr))
     np.testing.assert_array_equal(np.asarray(iw), np.asarray(ir))
+
+
+def test_resident_words_kernel_bit_identical(monkeypatch):
+    """Scenes past the exact-bitmask word cap but under the stream threshold
+    take the RESIDENT words kernel (single-tile stream, granule-grouped
+    bits) — bit-identical to the range kernel and routed by default.
+    RTC_BITMASK_MAX_WORDS=1 shrinks the cap so toy scenes exercise it."""
+    from raytracingc_tpu.ops import intersect_pallas as ip
+
+    monkeypatch.setenv("RTC_BITMASK_MAX_WORDS", "1")
+    monkeypatch.setenv("RTC_BRUTE_MAX", "0")
+    tris, n_live = _soup(5000)  # 40 blocks > 1 word * 31
+
+    calls = []
+    real_w = ip._search_padded_streamed_words
+
+    def spy_w(*a, **k):
+        calls.append("resident-words")
+        return real_w(*a, **k)
+
+    monkeypatch.setattr(ip, "_search_padded_streamed_words", spy_w)
+    accel = build_accel(tris, n_live)
+    o, d = _rays(2048, seed=21)
+    dw, iw = ip.search_triangles_pallas(o, d, tris, accel=accel,
+                                        n_live=n_live)
+    assert calls == ["resident-words"], calls
+    # words tile == whole plane (single tile): one call, not a stream
+    dr, ir = ip.search_triangles_pallas(o, d, tris, accel=accel,
+                                        n_live=n_live, cull="range")
+    np.testing.assert_array_equal(np.asarray(dw), np.asarray(dr))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ir))
+    dx, ix = _search_triangles_xla(o, d, tris)
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ix))
