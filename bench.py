@@ -338,16 +338,23 @@ def main() -> int:
               f"blocked {blocked_rays_per_sec:.4g}", file=sys.stderr)
 
     rays_per_sec = max(blocked_rays_per_sec, stream_rays_per_sec or 0.0)
+    # The metric label names the methodology of the number actually
+    # reported: if the blocked leg won the max() (pipelining didn't help),
+    # the label must not claim "steady-state" (review r4 finding).
+    stream_won = (
+        stream_rays_per_sec is not None
+        and stream_rays_per_sec >= blocked_rays_per_sec
+    )
     shard_tag = f" shard={shard}" if shard else ""
     result = {
         "metric": f"traced rays/s, {os.path.basename(scene_path)} "
         f"{width}x{height} spp={spp} b={max_bounce}{shard_tag} [{platform}]"
-        + (f" steady-state x{stream}" if stream_rays_per_sec else ""),
+        + (f" steady-state x{stream}" if stream_won else ""),
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
         "blocked_rays_s": round(blocked_rays_per_sec, 1),
-        "stream_frames": stream if stream_rays_per_sec else 1,
+        "stream_frames": stream if stream_won else 1,
         # Provenance: the knobs behind the number, so it is self-describing.
         "repeats": repeats,
         "compile_s": round(compile_s, 2),

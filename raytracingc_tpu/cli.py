@@ -139,6 +139,17 @@ def main(argv: list[str] | None = None) -> int:
     cam = Camera.look_at(origin=args.pos, target=args.track, fov=args.fov)
     width, height = args.size
 
+    if args.scene_sharding != "replicated" and (
+        args.shard == "none" or args.checkpoint or args.debug_bounces
+    ):
+        # Only the plain sharded render honors block sharding today; a
+        # silently-dropped flag would make the user measure the wrong
+        # configuration (review r4 finding).
+        raise SystemExit(
+            "--scene-sharding blocks requires --shard pixels|samples and "
+            "is not supported with --checkpoint/--debug-bounces"
+        )
+
     t1 = time.time()
     if args.debug_bounces:
         from raytracingc_tpu.render.integrator import render_debug

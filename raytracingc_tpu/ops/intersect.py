@@ -211,6 +211,16 @@ def nearest_hit(
             n_live=(scene.n_triangles or None) if axis is None else None,
             variant=None if axis is None else "packet",
         )
+        if axis is not None and scene_ng.accel is None:
+            # Without a real accel the pallas path builds a trivial_accel
+            # whose orig_idx is a LOCAL arange — globalize exactly like the
+            # XLA branch below, or the cross-shard merge and resolve's
+            # ownership test collide on duplicated local ids (review r4:
+            # reproduced as a silently wrong image).
+            lo = jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
+                scene_ng.triangles.count
+            )
+            tri_idx = jnp.where(tri_dst < MISS_DST, tri_idx + lo, tri_idx)
     else:
         tri_dst, tri_idx = _search_triangles_xla(
             o, d, scene_ng.triangles, chunk=tri_chunk

@@ -82,6 +82,9 @@ from raytracingc_tpu.scene.types import EPSILON, MISS_DST, Triangles
 N_QUANT = 6  # det, dn, u', v', t', orig-index
 FEATS = 16  # 13 used + 3 zero padding (MXU-friendly width)
 ROWS_PER_BLOCK = N_QUANT * TRI_LANES  # 768 coefficient rows per block
+# split3 carries only the five COMPARISON planes through the bf16 passes
+# (t' gets its own HIGHEST f32 dot) — 640 rows per block, not 768.
+ROWS_PER_BLOCK5 = (N_QUANT - 1) * TRI_LANES
 _BIG_F = float(2**30)  # f32-exact padding sentinel (a power of two)
 # Largest padded triangle count the MXU kernel accepts: the whole (T*6, 16)
 # coefficient table rides as one constant VMEM block (384 B/triangle), so
@@ -191,20 +194,22 @@ def _mxu_block_test(feats, coef_ref, j, best_d, best_i, *, precision,
     and the measured ~2e-4-relative distance contract comes from f32
     rounding through that cancellation — a 3-pass t′ would be ~64× coarser
     and break the documented tolerance. Total matmul cost: 768·3 bf16-pass
-    rows + 128 HIGHEST rows (≈6 bf16-pass-equivalent) ≈ 3456 vs the 6-pass
-    HIGHEST baseline's 4608 — a 1.33× matmul reduction at unchanged
-    accuracy contract.
+    rows + 128 HIGHEST rows (≈6 bf16-pass-equivalent ≈ 768): 640·3 +
+    768 ≈ 2688 vs the 6-pass HIGHEST baseline's 4608 — a 1.7× matmul
+    reduction at unchanged accuracy contract (the t' plane is dropped
+    from the bf16 tables entirely; review r4 removed its 384 dead
+    pass-rows per block).
     """
     if split is not None:
         fh, fl, coef_hi_ref, coef_lo_ref, coef_tp_ref = split
-        off = pl.multiple_of(j * ROWS_PER_BLOCK, ROWS_PER_BLOCK)
-        ch = coef_hi_ref[pl.ds(off, ROWS_PER_BLOCK), :]  # (768, 16) bf16
-        cl = coef_lo_ref[pl.ds(off, ROWS_PER_BLOCK), :]  # (768, 16) bf16
+        off = pl.multiple_of(j * ROWS_PER_BLOCK5, ROWS_PER_BLOCK5)
+        ch = coef_hi_ref[pl.ds(off, ROWS_PER_BLOCK5), :]  # (640, 16) bf16
+        cl = coef_lo_ref[pl.ds(off, ROWS_PER_BLOCK5), :]  # (640, 16) bf16
         dims = (((1,), (0,)), ((), ()))
         dot = lambda a, b: jax.lax.dot_general(
             a, b, dims, preferred_element_type=jnp.float32
         )
-        m = dot(ch, fh) + dot(ch, fl) + dot(cl, fh)  # (768, R) f32
+        m = dot(ch, fh) + dot(ch, fl) + dot(cl, fh)  # (640, R) f32
         offt = pl.multiple_of(j * TRI_LANES, TRI_LANES)
         tp = jax.lax.dot_general(
             coef_tp_ref[pl.ds(offt, TRI_LANES), :], feats, dims,
@@ -223,7 +228,14 @@ def _mxu_block_test(feats, coef_ref, j, best_d, best_i, *, precision,
     dn = m[1 * TRI_LANES : 2 * TRI_LANES]
     up = m[2 * TRI_LANES : 3 * TRI_LANES]
     vp = m[3 * TRI_LANES : 4 * TRI_LANES]
-    oif = m[5 * TRI_LANES : 6 * TRI_LANES]
+    # 5-plane split3 tables put the index plane right after v' (t' was
+    # dropped from the bf16 tables); the 6-plane HIGHEST table keeps it
+    # in slot 5.
+    oif = (
+        m[4 * TRI_LANES : 5 * TRI_LANES]
+        if split is not None
+        else m[5 * TRI_LANES : 6 * TRI_LANES]
+    )
 
     # Identical hit-test semantics to the VPU kernels (raytracing.c:186-214):
     # guarded division, same EPSILON tests, backface cull on the STORED normal.
@@ -344,15 +356,19 @@ def _search_padded_mxu(alive_flags, words, rays_planes, coeffs,
         # fixed-bits-per-scene property survives. t′ rows are re-sliced to a
         # (T, 16) f32 plane for the HIGHEST-precision dot (see
         # _mxu_block_test).
-        coef_hi, coef_lo = _split_bf16(coeffs)
-        coef_tp = coeffs.reshape(t // TRI_LANES, N_QUANT, TRI_LANES, FEATS)[
-            :, 4
-        ].reshape(t, FEATS)
+        c_blk = coeffs.reshape(t // TRI_LANES, N_QUANT, TRI_LANES, FEATS)
+        # Drop the t' plane from the bf16 tables entirely: its rows were
+        # computed by the 3-pass matmul and never read (review r4 finding —
+        # 384 dead bf16 pass-rows per block and 1/6 dead VMEM).
+        c5 = jnp.concatenate([c_blk[:, :4], c_blk[:, 5:]], axis=1)
+        coef_hi, coef_lo = _split_bf16(c5.reshape(t * (N_QUANT - 1), FEATS))
+        coef_tp = c_blk[:, 4].reshape(t, FEATS)
         coef_args = (coef_hi, coef_lo, coef_tp)
+        t5 = t * (N_QUANT - 1)
         coef_specs = [
-            pl.BlockSpec((t6, FEATS), lambda g: (0, 0),
+            pl.BlockSpec((t5, FEATS), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t6, FEATS), lambda g: (0, 0),
+            pl.BlockSpec((t5, FEATS), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, FEATS), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),

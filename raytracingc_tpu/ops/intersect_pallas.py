@@ -1181,6 +1181,14 @@ def search_triangles_pallas(
     # bucket for "too big for the exact bitmask" (where the words kernels
     # are the measured default instead).
     range_requested = cull == "range"
+    # Single source of truth for the words/range choice and the bitmask
+    # word cap — the SMEM slice bound, the streamed branch, and the
+    # resident-words gate below all reuse these (review r4: three drifting
+    # re-derivations).
+    max_words = int(os.environ.get("RTC_BITMASK_MAX_WORDS", 8))
+    use_words = os.environ.get(
+        "RTC_STREAM_CULL", "range" if range_requested else "words"
+    ) == "words"
     if cull == "bitmask":
         # The bitmask kernel unrolls one bit-walk loop per 31-block word;
         # very large scenes would blow up Mosaic compile time and program
@@ -1189,7 +1197,6 @@ def search_triangles_pallas(
         # default; [first, last] ranges on request). The stream threshold
         # also forces the fallback here so RTC_STREAM_MAX_T works under
         # the default bitmask cull.
-        max_words = int(os.environ.get("RTC_BITMASK_MAX_WORDS", 8))
         if (
             -(-n_blocks_total // BITS_PER_WORD) > max_words
             or t_padded > stream_max_t
@@ -1208,12 +1215,7 @@ def search_triangles_pallas(
         # The brute kernel's SMEM is O(n_live); the MXU kernel's is
         # O(G * n_words) — both far under the per-packet budgets.
         max_rays = 262144
-    if (
-        not use_brute and not use_mxu and t_padded > stream_max_t
-        and os.environ.get("RTC_STREAM_CULL",
-                           "range" if range_requested else "words")
-        == "words"
-    ):
+    if not use_brute and not use_mxu and t_padded > stream_max_t and use_words:
         # Words-streamed SMEM is (r/8) * n_tiles i32 per call; bound it by
         # the same ~64k-word ceiling the bitmask bound enforces.
         tile_e = int(os.environ.get("RTC_STREAM_TILE", STREAM_TILE))
@@ -1379,15 +1381,11 @@ def search_triangles_pallas(
         )
     else:
         # Words superblock culling is the measured default everywhere the
-        # exact bitmask does not reach (5.3× on the 247k streamed bench;
-        # the range span scans a measured 63.6%+ dead interior blocks).
-        # An explicit range request (param/RTC_CULL) or RTC_STREAM_CULL
-        # keeps the contiguous-span kernels for A/B.
-        use_words = (
-            os.environ.get(
-                "RTC_STREAM_CULL", "range" if range_requested else "words"
-            ) == "words"
-        )
+        # exact bitmask does not reach (5.3× on the 247k streamed bench,
+        # 2.0× on the 61k resident row; the range span scans a measured
+        # 63.6%+ dead interior blocks). An explicit range request
+        # (param/RTC_CULL) or RTC_STREAM_CULL keeps the span kernels
+        # for A/B. ``use_words``/``max_words`` resolved once above.
         if t > stream_max_t:
             # Tile-streamed kernel: O(tile) triangle VMEM (VERDICT r2
             # item 3). Per-(program, tile) activity flags let whole DMA+scan
@@ -1437,9 +1435,7 @@ def search_triangles_pallas(
                     alive_flags, first, last, rays_planes, tris_packed,
                     orig_idx, tile=tile, interpret=interpret,
                 )
-        elif use_words and n_blocks_total > int(
-            os.environ.get("RTC_BITMASK_MAX_WORDS", 8)
-        ) * BITS_PER_WORD:
+        elif use_words and n_blocks_total > max_words * BITS_PER_WORD:
             # RESIDENT words kernel: the 32k–65k regime that outgrew the
             # exact 8-word bitmask but still fits VMEM — a single-tile
             # stream (the whole plane is fetched once; the constant index

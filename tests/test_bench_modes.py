@@ -36,10 +36,27 @@ def test_bench_render_mode_schema():
     j = _run_bench({"BENCH_W": "32", "BENCH_H": "32", "BENCH_SPP": "1",
                     "BENCH_BOUNCE": "2", "BENCH_REPEATS": "1"})
     for key in ("metric", "value", "unit", "vs_baseline", "repeats",
-                "compile_s", "backend", "mesh", "sample_group"):
+                "compile_s", "backend", "mesh", "sample_group",
+                "blocked_rays_s", "stream_frames"):
         assert key in j, key
     assert j["unit"] == "rays/s" and j["value"] > 0
     assert j["mesh"] is None
+    # value is whichever methodology won; the label must agree (round-4
+    # review finding: never claim steady-state for a blocked number).
+    assert j["value"] >= j["blocked_rays_s"]
+    if j["stream_frames"] > 1:
+        assert "steady-state" in j["metric"]
+    else:
+        assert "steady-state" not in j["metric"]
+
+
+def test_bench_stream_disabled_schema():
+    j = _run_bench({"BENCH_W": "32", "BENCH_H": "32", "BENCH_SPP": "1",
+                    "BENCH_BOUNCE": "2", "BENCH_REPEATS": "1",
+                    "BENCH_STREAM": "1"})
+    assert j["stream_frames"] == 1
+    assert "steady-state" not in j["metric"]
+    assert j["value"] == j["blocked_rays_s"]
 
 
 def test_bench_shard_mode_schema():

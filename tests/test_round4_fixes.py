@@ -245,3 +245,64 @@ def test_cli_scene_sharding_blocks(tmp_path, models_dir):
         read_bmp(out2).astype(np.int32), read_bmp(out1).astype(np.int32),
         atol=1,
     )
+
+
+def test_pad_scene_for_blocks_non_multiple_count():
+    """Review r4: a triangle count that is not a 128-multiple must round UP
+    (floor-division computed a smaller target and crashed jnp.pad)."""
+    import numpy as np_
+
+    from raytracingc_tpu.parallel.sharded import pad_scene_for_blocks
+    from raytracingc_tpu.scene.types import Scene, Spheres, Triangles
+
+    n = 300
+    rng_ = np_.random.default_rng(0)
+    a = rng_.uniform(-1, 1, (n, 3)).astype(np_.float32)
+    tris = Triangles(
+        a=jnp.asarray(a), b=jnp.asarray(a + 0.1), c=jnp.asarray(a - 0.1),
+        normal=jnp.asarray(a), albedo=jnp.ones((n, 3), jnp.float32),
+        emission=jnp.zeros((n,), jnp.float32),
+        smoothness=jnp.zeros((n,), jnp.float32),
+    )
+    scene = Scene.build(triangles=tris, spheres=Spheres.empty())
+    padded = pad_scene_for_blocks(scene, 2)
+    assert padded.triangles.count % (2 * 128) == 0
+    assert padded.triangles.count >= n
+
+
+def test_block_sharded_accel_free_pallas_matches(box_scene, cam):
+    """Review r4 (reproduced bug): blocks mode WITHOUT an accel on the
+    pallas backend built a trivial accel whose orig_idx was a LOCAL arange —
+    shards collided on duplicated ids and the image was silently wrong.
+    The globalization fix must make it match the single-device render."""
+    from raytracingc_tpu.parallel.sharded import (
+        mesh_for_strategy,
+        pad_scene_for_blocks,
+        render_sharded,
+    )
+    from raytracingc_tpu.render.renderer import render
+
+    mesh = mesh_for_strategy("pixels", 8)
+    padded = pad_scene_for_blocks(box_scene, 8).replace(accel=None)
+    ref, _ = render(padded, cam, 8, 8, spp=1, max_bounce=2, seed=2,
+                    backend="pallas")
+    img, _ = render_sharded(
+        padded, cam, 8, 8, spp=1, max_bounce=2, seed=2, mesh=mesh,
+        scene_sharding="blocks", backend="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(img))
+
+
+def test_cli_scene_sharding_requires_shard(tmp_path, models_dir):
+    """Review r4: --scene-sharding blocks without --shard must fail loudly
+    instead of silently rendering the replicated configuration."""
+    import os
+
+    import pytest as pytest_
+
+    from raytracingc_tpu.cli import main
+
+    obj = os.path.join(models_dir, "simplest.obj")
+    with pytest_.raises(SystemExit, match="scene-sharding"):
+        main(["-i", obj, "-s", "8", "8", "--spp", "1", "-b", "1",
+              "--scene-sharding", "blocks", "-o", str(tmp_path / "x.bmp")])
