@@ -194,6 +194,7 @@ def nearest_hit(
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     axis = scene.shard_axis
+    local_indices = False  # does tri_idx number the LOCAL shard slice?
     if scene_ng.triangles.count == 0:  # sphere-only scene: no triangle pass
         tri_dst = jnp.full(o.shape[:1], MISS_DST, jnp.float32)
         tri_idx = jnp.full(o.shape[:1], -1, jnp.int32)
@@ -211,27 +212,22 @@ def nearest_hit(
             n_live=(scene.n_triangles or None) if axis is None else None,
             variant=None if axis is None else "packet",
         )
-        if axis is not None and scene_ng.accel is None:
-            # Without a real accel the pallas path builds a trivial_accel
-            # whose orig_idx is a LOCAL arange — globalize exactly like the
-            # XLA branch below, or the cross-shard merge and resolve's
-            # ownership test collide on duplicated local ids (review r4:
-            # reproduced as a silently wrong image).
-            lo = jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
-                scene_ng.triangles.count
-            )
-            tri_idx = jnp.where(tri_dst < MISS_DST, tri_idx + lo, tri_idx)
+        # With a real accel, orig_idx already carries GLOBAL indices; the
+        # trivial_accel fallback numbers the LOCAL slice (review r4:
+        # duplicated local ids silently corrupted the cross-shard merge).
+        local_indices = scene_ng.accel is None
     else:
         tri_dst, tri_idx = _search_triangles_xla(
             o, d, scene_ng.triangles, chunk=tri_chunk
         )
-        if axis is not None:
-            # The XLA scan indexes the LOCAL original-order slice; globalize
-            # (shards are contiguous original-order ranges).
-            lo = jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
-                scene_ng.triangles.count
-            )
-            tri_idx = jnp.where(tri_dst < MISS_DST, tri_idx + lo, tri_idx)
+        local_indices = True  # the XLA scan indexes the local slice
+
+    if axis is not None and scene_ng.triangles.count > 0 and local_indices:
+        # Globalize: shards are contiguous original-order ranges.
+        lo = jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
+            scene_ng.triangles.count
+        )
+        tri_idx = jnp.where(tri_dst < MISS_DST, tri_idx + lo, tri_idx)
 
     if axis is not None and scene_ng.triangles.count > 0:
         # SURVEY §5.8 block-sharded merge: each device searched its own

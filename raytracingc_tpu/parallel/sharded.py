@@ -224,7 +224,8 @@ def pad_scene_for_blocks(scene: Scene, n: int) -> Scene:
     # Ceil both steps: a non-128-multiple count must round UP to blocks
     # first (floor-dividing computed a target SMALLER than the input and
     # crashed jnp.pad with negative padding — review r4 finding).
-    b1 = -(-max(-(-t0 // BLOCK), 1) // n) * n
+    blocks = max(-(-t0 // BLOCK), 1)
+    b1 = -(-blocks // n) * n
     t1 = b1 * BLOCK
     if t1 == t0:
         return scene
