@@ -549,6 +549,165 @@ def _search_padded_streamed_words(alive_flags, words, rays_planes,
     return dst, idx
 
 
+def _search_kernel_streamed_words_tmajor(
+    alive_ref,  # (G * n_tiles,) i32 SMEM — per-(program, tile) activity
+    words_ref,  # (C * n_tiles,) i32 SMEM — per-(column, tile) superblock bits
+    deb_ref,  # (32,) i32 SMEM — De Bruijn bit-index table
+    rays_ref,  # (7, 8, COLS) f32 VMEM
+    tris_ref,  # (12, TILE) f32 VMEM — THIS TILE's triangle plane
+    oidx_ref,  # (1, TILE) i32 VMEM
+    dst_ref,  # (1, 8, COLS) f32 out — one block per (tile, program)
+    idx_ref,  # (1, 8, COLS) i32 out
+    *,
+    blocks_per_tile: int,
+    n_tiles: int,
+    granule: int,
+):
+    """TILE-MAJOR words-streamed search: DMA each triangle tile ONCE.
+
+    The ray-major layout (`_search_kernel_streamed_words`) re-DMAs every
+    tile for every program — triangle traffic = plane_bytes × programs
+    (~3 GB per 64k-ray call at 1M triangles). Here the grid is
+    ``(n_tiles, n_programs)`` with the tile index MAJOR, so each tile's
+    (12, TILE) plane is fetched once per call while the small ray blocks
+    (~28 KB) stream underneath — triangle traffic drops to plane_bytes × 1.
+    TPU Pallas silently corrupts output blocks revisited across
+    non-consecutive steps (measured), so each (tile, program) pair writes
+    its OWN output block and the cross-tile lex-min folds in XLA
+    afterwards — associative and commutative, hence bit-identical to the
+    in-kernel merge order.
+    """
+    cols = dst_ref.shape[2]
+    shape = (RAY_SUBLANES, cols)
+    tid = pl.program_id(0)
+    pid = pl.program_id(1)
+    col_base = pid * cols
+
+    dst_ref[0] = jnp.full(shape, MISS_DST, jnp.float32)
+    idx_ref[0] = jnp.full(shape, -1, jnp.int32)
+
+    @pl.when(alive_ref[pid * n_tiles + tid] != 0)
+    def _run():
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        ray_tiles = tuple(rays_ref[k] for k in range(6))
+
+        def per_column(i, acc):
+            acc_d, acc_i = acc
+            m0 = words_ref[(col_base + i) * n_tiles + tid]
+            col_mask = col_iota == i
+            ray = _extract_column(ray_tiles, col_mask)
+
+            def bit_body(carry):
+                m, bd, bi = carry
+                lsb = m & (-m)
+                j = deb_ref[((lsb * jnp.int32(_DEBRUIJN)) >> 27) & 31]
+                start = j * jnp.int32(granule)
+                end = jnp.minimum(
+                    start + jnp.int32(granule), jnp.int32(blocks_per_tile)
+                )
+
+                def per_tri_chunk(jj, carry2):
+                    return _mt_block_test(ray, tris_ref, oidx_ref, jj,
+                                          *carry2)
+
+                bd, bi = jax.lax.fori_loop(start, end, per_tri_chunk,
+                                           (bd, bi))
+                return (m & (m - 1), bd, bi)
+
+            init = (
+                m0,
+                jnp.full((RAY_SUBLANES, TRI_LANES), MISS_DST, jnp.float32),
+                jnp.full((RAY_SUBLANES, TRI_LANES), _BIG_I32, jnp.int32),
+            )
+            _, best_d, best_i = jax.lax.while_loop(
+                lambda c: c[0] != 0, bit_body, init
+            )
+            dmin, imin = _column_argmin(best_d, best_i)
+            acc_d = jnp.where(col_mask, dmin, acc_d)
+            acc_i = jnp.where(col_mask, imin, acc_i)
+            return acc_d, acc_i
+
+        init = (
+            jnp.full(shape, MISS_DST, jnp.float32),
+            jnp.full(shape, -1, jnp.int32),
+        )
+        acc_d, acc_i = jax.lax.fori_loop(0, cols, per_column, init)
+        dst_ref[0] = acc_d
+        idx_ref[0] = acc_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "granule", "interpret")
+)
+def _search_padded_streamed_words_tmajor(alive_flags, words, rays_planes,
+                                         tris_packed, orig_idx, tile,
+                                         granule, interpret=False):
+    n_cols = rays_planes.shape[2]
+    t = tris_packed.shape[1]
+    assert t % tile == 0 and tile % TRI_LANES == 0
+    n_tiles = t // tile
+    n_programs = n_cols // COLS_PER_PROGRAM
+    grid = (n_tiles, n_programs)
+
+    kernel = functools.partial(
+        _search_kernel_streamed_words_tmajor,
+        blocks_per_tile=tile // TRI_LANES,
+        n_tiles=n_tiles,
+        granule=granule,
+    )
+    dst_t, idx_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G * n_tiles,) activity
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (C * n_tiles,) words
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (32,) De Bruijn table
+            pl.BlockSpec(
+                (7, RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda tt, g: (0, 0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((12, tile), lambda tt, g: (0, tt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda tt, g: (0, tt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda tt, g: (tt, 0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda tt, g: (tt, 0, g),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, RAY_SUBLANES, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, RAY_SUBLANES, n_cols), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * RAY_SUBLANES * n_cols * t,
+            bytes_accessed=(6 * RAY_SUBLANES + 2 * RAY_SUBLANES) * n_cols * 4
+            * n_tiles + 13 * t * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(alive_flags, words, jnp.asarray(_DEBRUIJN_TABLE, jnp.int32),
+      rays_planes, tris_packed, orig_idx)
+
+    # Cross-tile lex-min fold in XLA — two reduces reproduce the exact
+    # in-kernel tie rule: lowest distance wins, then the lowest REAL
+    # original index among distance ties.
+    dst = jnp.min(dst_t, axis=0)  # (8, C)
+    cand = jnp.where((dst_t == dst[None]) & (idx_t >= 0), idx_t, _BIG_I32)
+    idx = jnp.min(cand, axis=0)
+    idx = jnp.where((dst < MISS_DST) & (idx < _BIG_I32), idx, -1)
+    return dst, idx
+
+
 def packet_tile_words(o_p, d_p, a_p, accel: TriangleAccel, n_tiles: int,
                       blocks_per_tile: int, granule: int):
     """Per-(packet, tile) superblock hit words via AABB slab tests.
@@ -1412,7 +1571,17 @@ def search_triangles_pallas(
                     .astype(jnp.int32)
                     .reshape(-1)
                 )
-                dst, idx = _search_padded_streamed_words(
+                # Grid order: "tile" (tile-major, default) DMAs each
+                # triangle tile once per call; "ray" (the round-4 original)
+                # re-DMAs the plane per program. Bit-identical (the
+                # cross-tile fold is the same lex-min); RTC_STREAM_ORDER
+                # selects for A/B.
+                order = os.environ.get("RTC_STREAM_ORDER", "tile")
+                search_fn = (
+                    _search_padded_streamed_words_tmajor
+                    if order == "tile" else _search_padded_streamed_words
+                )
+                dst, idx = search_fn(
                     alive_flags, words.reshape(-1), rays_planes,
                     tris_packed, orig_idx, tile=tile, granule=granule,
                     interpret=interpret,

@@ -174,8 +174,15 @@ def test_stream_threshold_applies_under_default_bitmask_cull(monkeypatch):
         calls.append("streamed-words")
         return real_w(*a, **k)
 
+    real_wt = ip._search_padded_streamed_words_tmajor
+
+    def spy_wt(*a, **k):
+        calls.append("streamed-words")
+        return real_wt(*a, **k)
+
     monkeypatch.setattr(ip, "_search_padded_streamed", spy)
     monkeypatch.setattr(ip, "_search_padded_streamed_words", spy_w)
+    monkeypatch.setattr(ip, "_search_padded_streamed_words_tmajor", spy_wt)
 
     tris, n_live = _soup(700)
     accel = build_accel(tris, n_live)
@@ -305,3 +312,22 @@ def test_resident_words_kernel_bit_identical(monkeypatch):
     np.testing.assert_array_equal(np.asarray(iw), np.asarray(ir))
     dx, ix = _search_triangles_xla(o, d, tris)
     np.testing.assert_array_equal(np.asarray(iw), np.asarray(ix))
+
+
+@pytest.mark.parametrize("order", ["tile", "ray"])
+def test_streamed_words_tile_major_bit_identical(stream_tiny, monkeypatch,
+                                                 order):
+    """The tile-major words grid (one DMA per triangle tile; per-(tile,
+    program) outputs folded by an XLA lex-min) must be bit-identical to the
+    ray-major grid and the resident kernel."""
+    monkeypatch.setenv("RTC_STREAM_ORDER", order)
+    tris, n_live = _soup(700)  # 6 blocks -> 3 tiles
+    accel = build_accel(tris, n_live)
+    o, d = _rays(2048, seed=31)
+    dw, iw = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
+    monkeypatch.setenv("RTC_STREAM_MAX_T", "10000000")
+    dres, ires = search_triangles_pallas(o, d, tris, accel=accel,
+                                         n_live=n_live)
+    np.testing.assert_array_equal(np.asarray(dw), np.asarray(dres))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ires))
+    assert int(jnp.sum(iw >= 0)) > 100
