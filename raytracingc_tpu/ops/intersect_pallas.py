@@ -723,22 +723,32 @@ def packet_tile_words(o_p, d_p, a_p, accel: TriangleAccel, n_tiles: int,
     bits_per_tile = -(-blocks_per_tile // granule)
     total = n_tiles * blocks_per_tile
     big = jnp.float32(3.0e38)
-    lo_g = jnp.pad(accel.aabb_lo, ((0, total - n_blocks), (0, 0)),
-                   constant_values=big)
-    hi_g = jnp.pad(accel.aabb_hi, ((0, total - n_blocks), (0, 0)),
-                   constant_values=-big)
-    lo_g = lo_g.reshape(n_tiles, blocks_per_tile, 3)
-    hi_g = hi_g.reshape(n_tiles, blocks_per_tile, 3)
-    bits = jnp.int32(1) << jnp.arange(bits_per_tile, dtype=jnp.int32)
+    lo_b = jnp.pad(accel.aabb_lo, ((0, total - n_blocks), (0, 0)),
+                   constant_values=big).reshape(n_tiles, blocks_per_tile, 3)
+    hi_b = jnp.pad(accel.aabb_hi, ((0, total - n_blocks), (0, 0)),
+                   constant_values=-big).reshape(n_tiles, blocks_per_tile, 3)
+    # Granule groups are TILE-LOCAL (bit j of tile t covers tile-local
+    # blocks [j*granule, (j+1)*granule)); pad each tile's block list up to
+    # bits_per_tile*granule before grouping so groups never straddle tiles.
     pad_b = bits_per_tile * granule - blocks_per_tile
+    lo_b = jnp.pad(lo_b, ((0, 0), (0, pad_b), (0, 0)), constant_values=big)
+    hi_b = jnp.pad(hi_b, ((0, 0), (0, pad_b), (0, 0)), constant_values=-big)
+    # Slab-test GRANULE-UNION AABBs, not per-block boxes: the words are
+    # granule-resolution anyway (the kernel scans a set bit's whole granule
+    # run and lets MT reject), so testing the union box per bit is the same
+    # kernel semantics with `granule`× fewer slab tests and NO group-OR
+    # reduce — the per-block precompute measured 392 ms/frame (34%) at 1M
+    # triangles (round-4 990k profile: reduce_max 258.6 + reduce_or
+    # 121.8 ms). Union of an inverted padding box with a real box is the
+    # real box; all-padding groups stay inverted (and masked).
+    lo_g = lo_b.reshape(n_tiles, bits_per_tile, granule, 3).min(axis=2)
+    hi_g = hi_b.reshape(n_tiles, bits_per_tile, granule, 3).max(axis=2)
+    bits = jnp.int32(1) << jnp.arange(bits_per_tile, dtype=jnp.int32)
 
     def tile_word(args):
         lo, hi = args
-        any_hit = _slab_any_hit(lo, hi, o_p, inv_p, a_p)  # (C, bpt)
-        grouped = jnp.pad(any_hit, ((0, 0), (0, pad_b))).reshape(
-            any_hit.shape[0], bits_per_tile, granule
-        ).any(axis=2)
-        return jnp.sum(jnp.where(grouped, bits[None, :], 0), axis=1,
+        any_hit = _slab_any_hit(lo, hi, o_p, inv_p, a_p)  # (C, bits_per_tile)
+        return jnp.sum(jnp.where(any_hit, bits[None, :], 0), axis=1,
                        dtype=jnp.int32)  # (C,)
 
     words = jax.lax.map(tile_word, (lo_g, hi_g))  # (n_tiles, C)
