@@ -331,3 +331,48 @@ def test_streamed_words_tile_major_bit_identical(stream_tiny, monkeypatch,
     np.testing.assert_array_equal(np.asarray(dw), np.asarray(dres))
     np.testing.assert_array_equal(np.asarray(iw), np.asarray(ires))
     assert int(jnp.sum(iw >= 0)) > 100
+
+
+def test_streamed_words_cross_tile_ties(stream_tiny, monkeypatch):
+    """Duplicate triangles at distant ORIGINAL indices produce exact distance
+    ties that can land in different blocks/tiles; the cross-tile fold
+    (in-kernel merge for ray-major, the XLA two-reduce fold for tile-major)
+    must pick the lowest ORIGINAL index — the C scan-order semantics."""
+    n = 600
+    rng = np.random.default_rng(41)
+    a = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    b = a + rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    c = a + rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    # Duplicate the first 300 triangles at the tail: identical geometry,
+    # higher original indices (ties are REAL and exact).
+    a = np.concatenate([a, a[:300]]); b = np.concatenate([b, b[:300]])
+    c = np.concatenate([c, c[:300]])
+    nrm = np.cross(b - a, c - a)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    n_live2 = n + 300  # pads to 1024 = 8 blocks -> 4 tiles of 2 blocks
+    tris, n_live2 = triangles_from_arrays(
+        np.stack([a, b, c], 1), nrm, np.full((n_live2, 3), 0.5, np.float32),
+        np.zeros(n_live2, np.float32), np.zeros(n_live2, np.float32),
+    )
+    accel = build_accel(tris, n_live2)
+    o, d = _rays(2048, seed=42)
+
+    dx, ix = _search_triangles_xla(o, d, tris)  # oracle: C scan order
+    results = {}
+    for order in ("tile", "ray"):
+        monkeypatch.setenv("RTC_STREAM_ORDER", order)
+        dw, iw = search_triangles_pallas(o, d, tris, accel=accel,
+                                         n_live=n_live2)
+        # Winner INDICES must match the C scan-order oracle exactly (the
+        # duplicated triangles tie EXACTLY — identical vertex bits give
+        # identical distances within each implementation, so any tie-break
+        # slip shows up here); distances agree with the XLA oracle only to
+        # FMA wobble, but must be bitwise EQUAL between the two orders.
+        np.testing.assert_array_equal(np.asarray(iw), np.asarray(ix))
+        results[order] = (np.asarray(dw), np.asarray(iw))
+    np.testing.assert_array_equal(results["tile"][0], results["ray"][0])
+    np.testing.assert_array_equal(results["tile"][1], results["ray"][1])
+    # The duplicates make ties REAL: every hit on a duplicated triangle
+    # must report the LOWER (original) copy's index.
+    assert int(jnp.sum(ix >= 0)) > 100
+    assert int(jnp.max(ix)) < n_live2
