@@ -62,12 +62,29 @@ COLS_PER_PROGRAM = 128
 _BIG_I32 = 2**30  # plain int: jnp constants would be captured by the kernel
 
 
-def _extract_column(tiles, col_mask):
-    """Masked cross-lane reduce: (8, COLS) tiles → (8, 1) column scalars.
+def _extract_column(tiles, col_mask, i):
+    """Extract column ``i`` of each (8, COLS) tile as (8, 1) scalars.
 
-    Mosaic cannot address single dynamic lanes (dynamic lane offsets must be
-    128-aligned), so per-column extraction is a select + reduction.
+    Mosaic cannot address single dynamic lanes (dynamic lane offsets must
+    be 128-aligned); the two supported formulations are a masked
+    select + reduction (default) and a dynamic cross-lane ROTATE
+    (``pltpu.roll``) + static lane-0 slice (``RTC_EXTRACT=roll``). Both
+    are pure data movement — bitwise-identical outputs (tested) — but the
+    dynamic rotate measured 37% SLOWER on the whole 990k bench (1.85e7 vs
+    2.96e7 rays/s, round 5): Mosaic's variable-shift lane rotate costs
+    far more than the select+reduce log-tree. Kept as an A/B knob so the
+    dead end stays reproducible; do not flip without re-measuring.
     """
+    import os
+
+    mode = os.environ.get("RTC_EXTRACT", "reduce")
+    assert mode in ("roll", "reduce"), (
+        f"RTC_EXTRACT={mode!r}: expected 'roll' or 'reduce'"
+    )
+    if mode == "roll":
+        return tuple(
+            pltpu.roll(t, shift=-i, axis=1)[:, 0:1] for t in tiles
+        )
     return tuple(
         jnp.sum(jnp.where(col_mask, t, 0.0), axis=1, keepdims=True)
         for t in tiles
@@ -184,7 +201,7 @@ def _search_tile(first_ref, last_ref, rays_ref, tris_ref, oidx_ref, dst_ref,
     def per_column(i, acc):
         acc_d, acc_i = acc
         col_mask = col_iota == i
-        ray = _extract_column(ray_tiles, col_mask)
+        ray = _extract_column(ray_tiles, col_mask, i)
 
         # Per-column hitting-block range, precomputed VECTORIZED in XLA and
         # handed over via SMEM: scalar loop bounds with NO vector->scalar
@@ -306,6 +323,15 @@ def _search_padded(alive_flags, first, last, rays_planes, tris_packed,
 # Pallas's automatic double-buffering the kernel's triangle VMEM is ~1.5 MiB
 # regardless of scene size.
 STREAM_TILE = 16384
+# Total SMEM i32-word budget per kernel call for the per-(column, tile)
+# culling tables. Measured on this v5e (tools/smem_probe.py, round 5): a
+# whole-array SMEM input of 245,760 words (960 KiB) compiles and runs;
+# 262,144 (1 MiB) fails Mosaic compilation — the ceiling is just under
+# 1 MiB. 196,608 (768 KiB) leaves ~200 KiB for the kernels' other scalars
+# (alive flags, De Bruijn table, Mosaic internals). The round-2 era bounds
+# below (262144-ray / 524288-word heuristics) predate the measurement and
+# stay for the legacy kernels' A/B comparability.
+SMEM_WORDS_BUDGET = 196608
 # Largest padded triangle count served by the VMEM-resident kernels: 65536
 # is a 3 MiB plane (fetched once — the constant index map is not
 # re-DMA'd per grid step). Above it, stream. Override: RTC_STREAM_MAX_T.
@@ -347,7 +373,7 @@ def _search_kernel_streamed(
         def per_column(i, acc):
             acc_d, acc_i = acc
             col_mask = col_iota == i
-            ray = _extract_column(ray_tiles, col_mask)
+            ray = _extract_column(ray_tiles, col_mask, i)
 
             # Clip the global range to this tile. Empty global ranges have
             # first == _BIG_I32 → lfirst >= lend → the loop body never runs.
@@ -440,7 +466,7 @@ def _search_kernel_streamed_words(
             def active(acc):
                 acc_d, acc_i = acc
                 col_mask = col_iota == i
-                ray = _extract_column(ray_tiles, col_mask)
+                ray = _extract_column(ray_tiles, col_mask, i)
 
                 def bit_body(carry):
                     m, bd, bi = carry
@@ -608,7 +634,7 @@ def _search_kernel_streamed_words_tmajor(
             def active(acc):
                 acc_d, acc_i = acc
                 col_mask = col_iota == i
-                ray = _extract_column(ray_tiles, col_mask)
+                ray = _extract_column(ray_tiles, col_mask, i)
 
                 def bit_body(carry):
                     m, bd, bi = carry
@@ -778,6 +804,243 @@ def packet_tile_words(o_p, d_p, a_p, accel: TriangleAccel, n_tiles: int,
     return words.T  # (C, n_tiles)
 
 
+def stream_words_per_pair(blocks_per_tile: int, granule: int) -> int:
+    """SMEM words per (column, tile) at a given culling granule."""
+    bits_per_tile = -(-blocks_per_tile // granule)
+    return -(-bits_per_tile // BITS_PER_WORD)
+
+
+def packet_tile_words_multi(o_p, d_p, a_p, accel: TriangleAccel,
+                            n_tiles: int, blocks_per_tile: int,
+                            granule: int):
+    """Multi-word per-(packet, tile) superblock bits at any granule.
+
+    Generalizes :func:`packet_tile_words` past the one-word (31-bit) cap:
+    returns ``(C, n_tiles, W)`` int32 with ``W = ceil(ceil(bpt/granule)/31)``
+    words per (column, tile); bit ``j`` of word ``w`` covers the
+    tile-local blocks ``[(w*31+j)*granule, ...+granule)``. ``granule=1``
+    is EXACT per-block culling — the slab boxes are then the per-block
+    AABBs themselves. Same conservative-superset semantics at every
+    granule (slab-passing union boxes; MT decides), so kernel results are
+    bit-identical across granules.
+    """
+    inv_p = 1.0 / jnp.where(jnp.abs(d_p) < 1e-20, 1e-20, d_p)
+    n_blocks = accel.aabb_lo.shape[0]
+    bits_per_tile = -(-blocks_per_tile // granule)
+    n_words = -(-bits_per_tile // BITS_PER_WORD)
+    total = n_tiles * blocks_per_tile
+    big = jnp.float32(3.0e38)
+    lo_b = jnp.pad(accel.aabb_lo, ((0, total - n_blocks), (0, 0)),
+                   constant_values=big).reshape(n_tiles, blocks_per_tile, 3)
+    hi_b = jnp.pad(accel.aabb_hi, ((0, total - n_blocks), (0, 0)),
+                   constant_values=-big).reshape(n_tiles, blocks_per_tile, 3)
+    # Tile-local granule groups (padded so groups never straddle tiles),
+    # then word groups padded to W*31 bits.
+    pad_b = bits_per_tile * granule - blocks_per_tile
+    lo_b = jnp.pad(lo_b, ((0, 0), (0, pad_b), (0, 0)), constant_values=big)
+    hi_b = jnp.pad(hi_b, ((0, 0), (0, pad_b), (0, 0)), constant_values=-big)
+    lo_g = lo_b.reshape(n_tiles, bits_per_tile, granule, 3).min(axis=2)
+    hi_g = hi_b.reshape(n_tiles, bits_per_tile, granule, 3).max(axis=2)
+    pad_w = n_words * BITS_PER_WORD - bits_per_tile
+    lo_g = jnp.pad(lo_g, ((0, 0), (0, pad_w), (0, 0)), constant_values=big)
+    hi_g = jnp.pad(hi_g, ((0, 0), (0, pad_w), (0, 0)), constant_values=-big)
+    bits = jnp.int32(1) << jnp.arange(BITS_PER_WORD, dtype=jnp.int32)
+
+    def tile_words(args):
+        lo, hi = args
+        any_hit = _slab_any_hit(lo, hi, o_p, inv_p, a_p)  # (C, W*31)
+        grp = any_hit.reshape(any_hit.shape[0], n_words, BITS_PER_WORD)
+        return jnp.sum(jnp.where(grp, bits[None, None, :], 0), axis=2,
+                       dtype=jnp.int32)  # (C, W)
+
+    words = jax.lax.map(tile_words, (lo_g, hi_g))  # (n_tiles, C, W)
+    return words.transpose(1, 0, 2)  # (C, n_tiles, W)
+
+
+def _search_kernel_streamed_packed_tmajor(
+    count_ref,  # (G * n_tiles,) i32 SMEM — active column count per pair
+    colidx_ref,  # (G * n_tiles * COLS,) i32 SMEM — packed active column ids
+    words_ref,  # (C * n_tiles * W,) i32 SMEM — per-(column, tile) bit words
+    deb_ref,  # (32,) i32 SMEM — De Bruijn bit-index table
+    rays_ref,  # (7, 8, COLS) f32 VMEM
+    tris_ref,  # (12, TILE) f32 VMEM — THIS TILE's triangle plane
+    oidx_ref,  # (1, TILE) i32 VMEM
+    dst_ref,  # (1, 8, COLS) f32 out — one block per (tile, program)
+    idx_ref,  # (1, 8, COLS) i32 out
+    *,
+    blocks_per_tile: int,
+    n_tiles: int,
+    granule: int,
+    n_words: int,
+):
+    """Packed-column, multi-word streamed search (round-5 architecture).
+
+    Two changes over ``_search_kernel_streamed_words_tmajor``, both measured
+    on the 990k/247k benches (BASELINE.md round 5):
+
+    1. **Packed active columns.** XLA packs each (program, tile) pair's
+       active column ids (any word nonzero) to the front of a 128-entry
+       SMEM segment; the kernel iterates EXACTLY those (the resident
+       bitmask kernel's strategy, ``_search_tile_bitmask``) — inactive
+       columns cost nothing, where the per-column ``lax.cond`` they replace
+       paid a scalar/vector sync each (96%+ of columns are inactive per
+       pair at 990k: measured active_col_frac 0.037).
+    2. **Multi-word granules.** ``W`` static words per (column, tile) allow
+       granules below ``ceil(bpt/31)`` — down to ``granule=1``, exact
+       per-block bits. The round-5 sweep measured 77% of MT-scanned blocks
+       DEAD inside set granule-5 bits (tools/granule_analysis.py); finer
+       granules trade XLA slab-precompute cost for that dead MT work.
+
+    Results are bit-identical to the words/range kernels at every granule:
+    ascending (word, bit, block) walk order is ascending block order, the
+    per-block MT is the shared ``_mt_block_test``, and the cross-tile fold
+    is the same XLA lex-min.
+    """
+    cols = dst_ref.shape[2]
+    shape = (RAY_SUBLANES, cols)
+    tid = pl.program_id(0)
+    pid = pl.program_id(1)
+    col_base = pid * cols
+    pair = pid * n_tiles + tid
+
+    dst_ref[0] = jnp.full(shape, MISS_DST, jnp.float32)
+    idx_ref[0] = jnp.full(shape, -1, jnp.int32)
+
+    n_active = count_ref[pair]
+
+    @pl.when(n_active != 0)
+    def _run():
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        ray_tiles = tuple(rays_ref[k] for k in range(6))
+
+        def per_active_column(jj, acc):
+            acc_d, acc_i = acc
+            i = colidx_ref[pair * cols + jj]
+            col_mask = col_iota == i
+            ray = _extract_column(ray_tiles, col_mask, i)
+
+            best = (
+                jnp.full((RAY_SUBLANES, TRI_LANES), MISS_DST, jnp.float32),
+                jnp.full((RAY_SUBLANES, TRI_LANES), _BIG_I32, jnp.int32),
+            )
+            wbase = ((col_base + i) * n_tiles + tid) * n_words
+            for w in range(n_words):  # static → unrolled
+                m0 = words_ref[wbase + w]
+                bit_base = w * BITS_PER_WORD
+
+                def bit_body(carry, bit_base=bit_base):
+                    m, bd, bi = carry
+                    lsb = m & (-m)
+                    j = deb_ref[((lsb * jnp.int32(_DEBRUIJN)) >> 27) & 31]
+                    start = (bit_base + j) * jnp.int32(granule)
+                    end = jnp.minimum(
+                        start + jnp.int32(granule),
+                        jnp.int32(blocks_per_tile),
+                    )
+
+                    def per_tri_chunk(b, carry2):
+                        return _mt_block_test(ray, tris_ref, oidx_ref, b,
+                                              *carry2)
+
+                    bd, bi = jax.lax.fori_loop(start, end, per_tri_chunk,
+                                               (bd, bi))
+                    return (m & (m - 1), bd, bi)
+
+                m, bd, bi = jax.lax.while_loop(
+                    lambda c: c[0] != 0, bit_body, (m0, *best)
+                )
+                best = (bd, bi)
+
+            dmin, imin = _column_argmin(*best)
+            return (
+                jnp.where(col_mask, dmin, acc_d),
+                jnp.where(col_mask, imin, acc_i),
+            )
+
+        init = (
+            jnp.full(shape, MISS_DST, jnp.float32),
+            jnp.full(shape, -1, jnp.int32),
+        )
+        acc_d, acc_i = jax.lax.fori_loop(0, n_active, per_active_column,
+                                         init)
+        dst_ref[0] = acc_d
+        idx_ref[0] = acc_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "granule", "interpret")
+)
+def _search_padded_streamed_packed_tmajor(counts, colidx, words, rays_planes,
+                                          tris_packed, orig_idx, tile,
+                                          granule, interpret=False):
+    n_cols = rays_planes.shape[2]
+    t = tris_packed.shape[1]
+    assert t % tile == 0 and tile % TRI_LANES == 0
+    n_tiles = t // tile
+    n_programs = n_cols // COLS_PER_PROGRAM
+    grid = (n_tiles, n_programs)
+    bpt = tile // TRI_LANES
+    n_words = stream_words_per_pair(bpt, granule)
+
+    kernel = functools.partial(
+        _search_kernel_streamed_packed_tmajor,
+        blocks_per_tile=bpt,
+        n_tiles=n_tiles,
+        granule=granule,
+        n_words=n_words,
+    )
+    dst_t, idx_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (G * n_tiles,) counts
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # packed column ids
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (C * n_tiles * W,) words
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (32,) De Bruijn table
+            pl.BlockSpec(
+                (7, RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda tt, g: (0, 0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((12, tile), lambda tt, g: (0, tt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda tt, g: (0, tt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda tt, g: (tt, 0, g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, RAY_SUBLANES, COLS_PER_PROGRAM),
+                lambda tt, g: (tt, 0, g),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, RAY_SUBLANES, n_cols), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, RAY_SUBLANES, n_cols), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * RAY_SUBLANES * n_cols * t,
+            bytes_accessed=(6 * RAY_SUBLANES + 2 * RAY_SUBLANES) * n_cols * 4
+            * n_tiles + 13 * t * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(counts, colidx, words, jnp.asarray(_DEBRUIJN_TABLE, jnp.int32),
+      rays_planes, tris_packed, orig_idx)
+
+    # Same cross-tile lex-min fold as the words tile-major kernel.
+    dst = jnp.min(dst_t, axis=0)  # (8, C)
+    cand = jnp.where((dst_t == dst[None]) & (idx_t >= 0), idx_t, _BIG_I32)
+    idx = jnp.min(cand, axis=0)
+    idx = jnp.where((dst < MISS_DST) & (idx < _BIG_I32), idx, -1)
+    return dst, idx
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def _search_padded_streamed(alive_flags, first, last, rays_planes,
                             tris_packed, orig_idx, tile, interpret=False):
@@ -834,6 +1097,41 @@ def _search_padded_streamed(alive_flags, first, last, rays_planes,
         interpret=interpret,
     )(alive_flags, first, last, rays_planes, tris_packed, orig_idx)
     return dst, idx
+
+
+def _stream_granule(blocks_per_tile: int, n_tiles: int) -> int:
+    """Culling granule for the packed streamed kernel (RTC_STREAM_GRANULE).
+
+    ``auto`` picks the FINEST granule whose SMEM tables still allow ≥4096
+    rays per kernel call under ``SMEM_WORDS_BUDGET`` (words + packed column
+    ids) — finer granules cut dead MT work (measured 77% of scanned blocks
+    dead at granule 5, 990k bench) but cost more XLA slab precompute and
+    smaller call widths; the 4096 floor keeps the call count bounded.
+    Falls back to the one-word granule ``ceil(bpt/31)`` when nothing finer
+    fits.
+    """
+    import os
+
+    g0 = -(-blocks_per_tile // BITS_PER_WORD)
+    env = os.environ.get("RTC_STREAM_GRANULE", "auto")
+    if env != "auto":
+        g = int(env)
+        assert 1 <= g <= max(blocks_per_tile, 1), (
+            f"RTC_STREAM_GRANULE={env}: expected 'auto' or an int in "
+            f"[1, {blocks_per_tile}]"
+        )
+        return g
+    per_program = RAY_SUBLANES * COLS_PER_PROGRAM
+    for g in range(1, g0):
+        w = stream_words_per_pair(blocks_per_tile, g)
+        per_col = n_tiles * (w + 1)
+        rays = (
+            (RAY_SUBLANES * SMEM_WORDS_BUDGET // per_col)
+            // per_program * per_program
+        )
+        if rays >= 4096:
+            return g
+    return g0
 
 
 def _stream_tile_pad(tris_packed, orig_idx, tile):
@@ -1071,7 +1369,7 @@ def _search_tile_bitmask(n_active, colidx_ref, mask_ref, deb_ref, rays_ref,
         # Occupancy on compacted secondary bounces is often ~10-40%.
         i = colidx_ref[col_base + jj]
         col_mask = col_iota == i
-        ray = _extract_column(ray_tiles, col_mask)
+        ray = _extract_column(ray_tiles, col_mask, i)
 
         best = (
             jnp.full((RAY_SUBLANES, TRI_LANES), MISS_DST, jnp.float32),
@@ -1378,9 +1676,19 @@ def search_triangles_pallas(
     # resident-words gate below all reuse these (review r4: three drifting
     # re-derivations).
     max_words = int(os.environ.get("RTC_BITMASK_MAX_WORDS", 8))
-    use_words = os.environ.get(
+    # Default "words": the round-5 sweep measured the packed/multi-word
+    # kernel LOSING at every granule on the 990k bench (BASELINE.md round 5
+    # "exact per-block bits: measured dead end") — the cond-words kernel is
+    # the standing champion. "packed" stays for A/B reproducibility.
+    stream_cull = os.environ.get(
         "RTC_STREAM_CULL", "range" if range_requested else "words"
-    ) == "words"
+    )
+    assert stream_cull in ("packed", "words", "range"), (
+        f"RTC_STREAM_CULL={stream_cull!r}: expected 'packed', 'words' or "
+        "'range'"
+    )
+    use_words = stream_cull == "words"
+    use_packed = stream_cull == "packed"
     if cull == "bitmask":
         # The bitmask kernel unrolls one bit-walk loop per 31-block word;
         # very large scenes would blow up Mosaic compile time and program
@@ -1417,6 +1725,29 @@ def search_triangles_pallas(
         per_program = RAY_SUBLANES * COLS_PER_PROGRAM
         max_rays = min(max_rays, max(
             (524288 // max(n_tiles_e, 1)) // per_program * per_program,
+            per_program,
+        ))
+    if not use_brute and not use_mxu and use_packed and (
+        t_padded > stream_max_t
+        or n_blocks_total > max_words * BITS_PER_WORD
+    ):
+        # Packed-kernel SMEM is (r/8) * n_tiles * (W + 1) i32 per call
+        # (W bit words + 1 packed-column-id word); bound it by the
+        # MEASURED budget (SMEM_WORDS_BUDGET).
+        if t_padded > stream_max_t:
+            tile_e = int(os.environ.get("RTC_STREAM_TILE", STREAM_TILE))
+            tile_e = min(_round_up(tile_e, TRI_LANES),
+                         _round_up(t_padded, TRI_LANES))
+            n_tiles_e = -(-t_padded // tile_e)
+        else:  # resident regime: the whole plane is one tile
+            tile_e, n_tiles_e = t_padded, 1
+        bpt_e = tile_e // TRI_LANES
+        granule_e = _stream_granule(bpt_e, n_tiles_e)
+        w_e = stream_words_per_pair(bpt_e, granule_e)
+        per_program = RAY_SUBLANES * COLS_PER_PROGRAM
+        max_rays = min(max_rays, max(
+            (RAY_SUBLANES * SMEM_WORDS_BUDGET
+             // (n_tiles_e * (w_e + 1))) // per_program * per_program,
             per_program,
         ))
     if r > max_rays:
@@ -1578,6 +1909,19 @@ def search_triangles_pallas(
         # 63.6%+ dead interior blocks). An explicit range request
         # (param/RTC_CULL) or RTC_STREAM_CULL keeps the span kernels
         # for A/B. ``use_words``/``max_words`` resolved once above.
+        def _pack_cols(words_multi, n_tiles_p):
+            """Pack active column ids per (program, tile) for the packed
+            kernel. Stable argsort on the inactive flag keeps the active
+            ids ascending — the kernel then visits columns in the same
+            order the cond-based kernels scan them."""
+            active = jnp.any(words_multi != 0, axis=2)  # (C, n_tiles)
+            act = active.reshape(
+                n_programs, COLS_PER_PROGRAM, n_tiles_p
+            ).transpose(0, 2, 1)  # (G, n_tiles, 128)
+            counts = jnp.sum(act.astype(jnp.int32), axis=2).reshape(-1)
+            colidx = jnp.argsort(~act, axis=2, stable=True).astype(jnp.int32)
+            return counts, colidx.reshape(-1)
+
         if t > stream_max_t:
             # Tile-streamed kernel: O(tile) triangle VMEM (VERDICT r2
             # item 3). Per-(program, tile) activity flags let whole DMA+scan
@@ -1592,7 +1936,18 @@ def search_triangles_pallas(
             # Streamed culling (VERDICT r3 item 5): walk exactly the
             # slab-hitting superblocks via per-(column, tile) bit words.
             # Bit-identical to the range kernel (same slab tests).
-            if use_words:
+            if use_packed:
+                granule = _stream_granule(bpt, n_tiles)
+                words = packet_tile_words_multi(
+                    o_p, d_p, a_p, accel, n_tiles, bpt, granule
+                )  # (C, n_tiles, W)
+                counts, colidx = _pack_cols(words, n_tiles)
+                dst, idx = _search_padded_streamed_packed_tmajor(
+                    counts, colidx, words.reshape(-1), rays_planes,
+                    tris_packed, orig_idx, tile=tile, granule=granule,
+                    interpret=interpret,
+                )
+            elif use_words:
                 granule = -(-bpt // BITS_PER_WORD)
                 words = packet_tile_words(
                     o_p, d_p, a_p, accel, n_tiles, bpt, granule
@@ -1610,6 +1965,9 @@ def search_triangles_pallas(
                 # cross-tile fold is the same lex-min); RTC_STREAM_ORDER
                 # selects for A/B.
                 order = os.environ.get("RTC_STREAM_ORDER", "tile")
+                assert order in ("tile", "ray"), (
+                    f"RTC_STREAM_ORDER={order!r}: expected 'tile' or 'ray'"
+                )
                 search_fn = (
                     _search_padded_streamed_words_tmajor
                     if order == "tile" else _search_padded_streamed_words
@@ -1637,6 +1995,22 @@ def search_triangles_pallas(
                     alive_flags, first, last, rays_planes, tris_packed,
                     orig_idx, tile=tile, interpret=interpret,
                 )
+        elif use_packed and n_blocks_total > max_words * BITS_PER_WORD:
+            # RESIDENT packed kernel: the whole plane as ONE tile (fetched
+            # once; the constant index map is not re-DMA'd), packed active
+            # columns, granule per RTC_STREAM_GRANULE (auto → exact
+            # per-block bits when the SMEM budget allows).
+            bpt_r = t // TRI_LANES
+            granule = _stream_granule(bpt_r, 1)
+            words = packet_tile_words_multi(
+                o_p, d_p, a_p, accel, 1, bpt_r, granule
+            )  # (C, 1, W)
+            counts, colidx = _pack_cols(words, 1)
+            dst, idx = _search_padded_streamed_packed_tmajor(
+                counts, colidx, words.reshape(-1), rays_planes,
+                tris_packed, orig_idx, tile=t, granule=granule,
+                interpret=interpret,
+            )
         elif use_words and n_blocks_total > max_words * BITS_PER_WORD:
             # RESIDENT words kernel: the 32k–65k regime that outgrew the
             # exact 8-word bitmask but still fits VMEM — a single-tile

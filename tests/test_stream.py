@@ -376,3 +376,86 @@ def test_streamed_words_cross_tile_ties(stream_tiny, monkeypatch):
     # must report the LOWER (original) copy's index.
     assert int(jnp.sum(ix >= 0)) > 100
     assert int(jnp.max(ix)) < n_live2
+
+
+@pytest.mark.parametrize("granule", ["1", "2", "3", "auto"])
+def test_streamed_packed_bit_identical(stream_tiny, monkeypatch, granule):
+    """Round-5 packed kernel (packed active-column lists + multi-word
+    granule bits, down to granule=1 exact per-block culling) must be
+    bit-identical to the words/range kernels at every granule: finer
+    union boxes are still a conservative superset and the walk order is
+    ascending block order. (On hardware the packed kernel measured SLOWER
+    than the cond-words kernel at every granule — BASELINE.md round 5 —
+    so it is an A/B path, not the default; the contract still holds.)"""
+    tris, n_live = _soup(700)  # pads to 768 = 6 blocks -> 3 tiles
+    accel = build_accel(tris, n_live)
+    o, d = _rays(2048, seed=21)
+    alive = jnp.asarray(np.random.default_rng(22).random(2048) < 0.6)
+
+    monkeypatch.setenv("RTC_STREAM_CULL", "words")
+    dw, iw = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live,
+                                     alive=alive)
+    monkeypatch.setenv("RTC_STREAM_CULL", "packed")
+    monkeypatch.setenv("RTC_STREAM_GRANULE", granule)
+    dp, ip = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live,
+                                     alive=alive)
+    am = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(dw)[am], np.asarray(dp)[am])
+    np.testing.assert_array_equal(np.asarray(iw)[am], np.asarray(ip)[am])
+    assert int(jnp.sum(jnp.where(alive, ip, -1) >= 0)) > 50
+
+
+def test_resident_packed_bit_identical(monkeypatch):
+    """The packed kernel's RESIDENT regime (whole plane as one tile) must
+    match the resident words kernel bitwise."""
+    tris, n_live = _soup(900)  # pads to 1024 = 8 blocks
+    accel = build_accel(tris, n_live)
+    o, d = _rays(2048, seed=23)
+    # Force the words/packed regime (past the "exact bitmask" word cap).
+    monkeypatch.setenv("RTC_BITMASK_MAX_WORDS", "0")
+    monkeypatch.setenv("RTC_STREAM_CULL", "words")
+    dw, iw = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
+    monkeypatch.setenv("RTC_STREAM_CULL", "packed")
+    monkeypatch.setenv("RTC_STREAM_GRANULE", "1")
+    dp, ip = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
+    np.testing.assert_array_equal(np.asarray(dw), np.asarray(dp))
+    np.testing.assert_array_equal(np.asarray(iw), np.asarray(ip))
+    assert int(jnp.sum(ip >= 0)) > 100
+
+
+def test_extract_mode_bit_identical(stream_tiny, monkeypatch):
+    """RTC_EXTRACT=roll (dynamic lane rotate) and the default masked
+    reduce are pure data movement: bitwise-equal search results. The roll
+    measured 37% slower on the 990k hardware bench (round 5) and is an
+    A/B knob only."""
+    tris, n_live = _soup(700)
+    accel = build_accel(tris, n_live)
+    o, d = _rays(2048, seed=24)
+    dr_, ir_ = search_triangles_pallas(o, d, tris, accel=accel,
+                                       n_live=n_live)
+    monkeypatch.setenv("RTC_EXTRACT", "roll")
+    dl, il = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
+    np.testing.assert_array_equal(np.asarray(dr_), np.asarray(dl))
+    np.testing.assert_array_equal(np.asarray(ir_), np.asarray(il))
+
+
+@pytest.mark.parametrize(
+    "knob,value",
+    [
+        ("RTC_STREAM_CULL", "wordz"),
+        ("RTC_STREAM_ORDER", "tiles"),
+        ("RTC_EXTRACT", "rolll"),
+        ("RTC_STREAM_GRANULE", "0"),
+    ],
+)
+def test_knob_typos_fail_loudly(stream_tiny, monkeypatch, knob, value):
+    """VERDICT r4 item 7: misspelled knob VALUES must raise, not fall
+    through to a silent default."""
+    tris, n_live = _soup(2000)  # past BRUTE_MAX_TRIS: the packet/streamed
+    accel = build_accel(tris, n_live)  # path (where the knobs live) engages
+    o, d = _rays(512, seed=25)
+    monkeypatch.setenv(knob, value)
+    if knob == "RTC_STREAM_GRANULE":
+        monkeypatch.setenv("RTC_STREAM_CULL", "packed")
+    with pytest.raises((AssertionError, ValueError)):
+        search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)

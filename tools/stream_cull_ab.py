@@ -5,8 +5,12 @@ record (4.05e6 rays/s, range cull). Run each leg in its own process:
 
     RTC_STREAM_CULL=range python tools/stream_cull_ab.py range
     RTC_STREAM_CULL=words python tools/stream_cull_ab.py words
+
+STREAM_AB_LEVELS overrides the tessellation level (default 3 → 247k tris;
+4 → 990k).
 """
 
+import os
 import sys
 import time
 
@@ -23,9 +27,10 @@ def main() -> int:
     w, h, spp, b = 1920, 1080, 8, 8
     if len(sys.argv) > 2:
         w = h = int(sys.argv[2])
+    levels = int(os.environ.get("STREAM_AB_LEVELS", 3))
 
     s0 = scene_from_obj("/root/reference/3Dmodels/suzannes.obj")
-    tris, n = tessellate(s0.triangles, s0.n_triangles, levels=3)
+    tris, n = tessellate(s0.triangles, s0.n_triangles, levels=levels)
     sc = Scene.build(triangles=tris, spheres=s0.spheres, env=s0.env)
     sc = sc.replace(n_triangles=n, n_spheres=s0.n_spheres).with_accel()
     sc = jax.device_put(sc)
