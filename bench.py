@@ -165,6 +165,69 @@ def _bench_train(scene, cam, scene_path: str, platform: str) -> int:
     return 0
 
 
+def _roofline_profile(launch, frames: int):
+    """Trace ``frames`` enqueued frames; return per-frame device-time stats.
+
+    VERDICT r4 item 4: the bench must report device-busy time and a
+    utilization figure, not just wall-clock rays/s — a regression in
+    device-busy fraction would otherwise hide inside tunnel noise. Parses
+    the xprof ``framework_op_stats`` table (the same tool behind the
+    BASELINE.md profiles) from a ``jax.profiler`` trace: per-frame device
+    busy = sum of device op self-times excluding IDLE. Returns None (and
+    says why on stderr) when tracing or parsing is unavailable.
+    """
+    import glob
+    import tempfile
+
+    import jax
+
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"# roofline: xprof unavailable ({e})", file=sys.stderr)
+        return None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            jax.profiler.start_trace(td)
+            outs = [launch()[0] for _ in range(frames)]
+            jax.block_until_ready(outs)
+            jax.profiler.stop_trace()
+            paths = glob.glob(td + "/**/*.xplane.pb", recursive=True)
+            if not paths:
+                print("# roofline: no xplane captured", file=sys.stderr)
+                return None
+            data, _ = rtd.xspace_to_tool_data(
+                paths, "framework_op_stats", {"tqx": "out:csv;"}
+            )
+        s = data if isinstance(data, str) else data.decode("utf-8", "replace")
+        table = json.loads(s)[0]
+        cols = [c["id"] for c in table["cols"]]
+        i_dev = cols.index("host_or_device")
+        i_op = cols.index("operation")
+        i_self = cols.index("total_self_time")
+        busy_us = idle_us = search_us = 0.0
+        for row in table.get("rows", []):
+            vals = [c.get("v") if c else None for c in row["c"]]
+            if str(vals[i_dev]).lower() != "device":
+                continue
+            t = float(vals[i_self] or 0.0)
+            name = str(vals[i_op])
+            if name == "IDLE":
+                idle_us += t
+            else:
+                busy_us += t
+                if "search" in name.lower():
+                    search_us += t
+        return {
+            "device_busy_ms": round(busy_us / 1e3 / frames, 2),
+            "device_idle_ms": round(idle_us / 1e3 / frames, 2),
+            "search_self_ms": round(search_us / 1e3 / frames, 2),
+        }
+    except Exception as e:  # pragma: no cover - parsing is best-effort
+        print(f"# roofline: profile failed ({e})", file=sys.stderr)
+        return None
+
+
 def main() -> int:
     # Persistent compilation cache: repeat bench runs skip the 10-60 s
     # first-compile (harmless if already set by the environment).
@@ -337,6 +400,16 @@ def main() -> int:
         print(f"# stream x{stream}: {stream_rays_per_sec:.4g} rays/s vs "
               f"blocked {blocked_rays_per_sec:.4g}", file=sys.stderr)
 
+    # Roofline accounting (VERDICT r4 item 4): per-frame device busy/idle
+    # from a 2-frame xprof trace window, plus the busy fraction of the
+    # steady-state frame wall. BENCH_ROOFLINE=0 skips (the traced frames
+    # are extra, so the timed numbers above are never perturbed).
+    roofline = None
+    if os.environ.get("BENCH_ROOFLINE", "1") != "0" and platform == "tpu":
+        roofline = _roofline_profile(
+            lambda: launch(sample_group, pixel_chunk), frames=2
+        )
+
     rays_per_sec = max(blocked_rays_per_sec, stream_rays_per_sec or 0.0)
     # The metric label names the methodology of the number actually
     # reported: if the blocked leg won the max() (pipelining didn't help),
@@ -373,6 +446,16 @@ def main() -> int:
         # sample (see BASELINE.md "Ray accounting").
         "ray_accounting": "logical",
     }
+    if roofline is not None:
+        frame_wall_ms = 1e3 * count / rays_per_sec
+        result.update(roofline)
+        # Busy fraction of the reported (steady-state) frame wall: the
+        # pipeline-level utilization figure. <1 means tunnel/dispatch gaps;
+        # a drop over rounds at equal rays/s means the device got faster
+        # but the harness is eating it.
+        result["device_busy_frac"] = round(
+            roofline["device_busy_ms"] / frame_wall_ms, 3
+        )
     print(json.dumps(result))
     print(
         f"# {count:.3g} rays in {best:.3f}s (compile+first run {compile_s:.1f}s), "

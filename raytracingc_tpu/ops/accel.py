@@ -52,6 +52,17 @@ class TriangleAccel(struct.PyTreeNode):
     # broke the exact chunking-invariance property. None on trivial accels
     # (traced construction); the kernel falls back to in-trace packing then.
     mxu_coeffs: jax.Array | None = None
+    # Inverse permutation: original triangle id → permuted slot (int32 [T]).
+    # Lets the resolve gather run against Morton-permuted (locality-sorted)
+    # tables: the search winner's ORIGINAL index maps to its permuted slot,
+    # where spatially-near winners sit in nearby rows (round-5, VERDICT r4
+    # item 3 — the 67 MB original-order resolve gather was 73 ms/frame at
+    # 990k). None on trivial accels.
+    perm_of_orig: jax.Array | None = None
+    # Eagerly packed (12, T) search plane (A, AB, AC, N rows, permuted
+    # order) — the Pallas kernels' triangle input, otherwise rebuilt from
+    # the SoA by every traced program execution. Bits fixed once per scene.
+    packed_plane: jax.Array | None = None
 
 
 def _morton3(q: np.ndarray) -> np.ndarray:
@@ -125,12 +136,25 @@ def build_accel(tris: Triangles, n_live: int) -> TriangleAccel:
         if t <= MXU_MAX_TRIS
         else None
     )
+    # Inverse permutation (original id → permuted slot). ``perm`` is a true
+    # permutation of [0, t) (padding tail rides along identity-ish), so the
+    # inverse is total; padding ids are simply never queried by winners.
+    inv = np.empty((t,), np.int32)
+    inv[perm] = np.arange(t, dtype=np.int32)
+
+    pn = np.asarray(tris.normal)[perm]
+    plane = np.concatenate(
+        [pa.T, (pb - pa).T, (pc - pa).T, pn.T], axis=0
+    ).astype(np.float32)  # = intersect_pallas.pack_triangles, eager bits
+
     return TriangleAccel(
         triangles=permuted,
         orig_idx=jax.numpy.asarray(orig),
         aabb_lo=jax.numpy.asarray(lo_blocks),
         aabb_hi=jax.numpy.asarray(hi_blocks),
         mxu_coeffs=coeffs,
+        perm_of_orig=jax.numpy.asarray(inv),
+        packed_plane=jax.numpy.asarray(plane),
     )
 
 

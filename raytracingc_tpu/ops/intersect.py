@@ -267,6 +267,74 @@ def nearest_hit(
 # ----------------------------------------------------------------------------
 
 
+# Minimum padded triangle count at which ``auto`` switches the resolve to
+# the Morton-permuted table. Bracketed by same-day hardware A/B (round 5):
+# at 247,552 tris (17 MB table) the permuted path loses 1.5%; at 990,208
+# (67 MB) it wins 11%. The crossover sits between; 500k splits the bracket.
+PERM_RESOLVE_MIN_T = 500_000
+
+
+def _tri_table(tris: Triangles) -> jax.Array:
+    """(T, 17) packed resolve rows: A, B, C, N, albedo, emission, smooth."""
+    return jnp.concatenate(
+        [
+            tris.a, tris.b, tris.c, tris.normal, tris.albedo,
+            tris.emission[:, None], tris.smoothness[:, None],
+        ],
+        axis=1,
+    )
+
+
+def with_perm_resolve(scene: Scene) -> Scene:
+    """Attach the Morton-permuted resolve table (locality-sorted gathers).
+
+    The resolve row-gather from the ORIGINAL-order table was 73 ms/frame at
+    990k triangles (round-4 990k profile): winners of nearby rays are
+    spatially near, hence Morton-near, hence scattered across the
+    original-order table but CONTIGUOUS in the accel's permuted order.
+    This builds the (T, 17) table permuted into accel order — IN TRACE,
+    via a differentiable permutation gather of ``scene.triangles``, so
+    values are bitwise the originals and vertex/material gradients flow
+    unchanged (the permutation is a bijection; its transpose scatter has
+    unique indices, so even the gradient bits match the original-order
+    path). Called once at integrator entry; every bounce's resolve then
+    gathers from the permuted table via the winner's permuted slot
+    (``accel.perm_of_orig``). ``RTC_RESOLVE=orig`` disables for A/B.
+
+    No-op (returns ``scene`` unchanged) without an accel carrying
+    ``perm_of_orig``, for block-sharded scenes (their resolve combines via
+    masked psum over original-order shards), and — under the default
+    ``auto`` — for scenes below ``PERM_RESOLVE_MIN_T``: the permuted
+    gather wins only when the table is big enough that original-order
+    rows thrash (same-day hardware A/B, round 5: +11% at 990k tris,
+    −1.5% at 247k, −10% on the 3,868-triangle tracked bench where the
+    whole table is cache-resident and the slot indirection is pure cost).
+    ``RTC_RESOLVE=perm|orig`` forces either side for A/B.
+    """
+    import os
+
+    mode = os.environ.get("RTC_RESOLVE", "auto")
+    assert mode in ("auto", "perm", "orig"), (
+        f"RTC_RESOLVE={mode!r}: expected 'auto', 'perm' or 'orig'"
+    )
+    accel = scene.accel
+    if (
+        mode == "orig"
+        or (mode == "auto" and scene.triangles.count < PERM_RESOLVE_MIN_T)
+        or accel is None
+        or getattr(accel, "perm_of_orig", None) is None
+        or scene.shard_axis is not None
+        or scene.triangles.count <= 256
+        or scene.resolve_perm is not None
+    ):
+        return scene
+    table = _tri_table(scene.triangles)
+    # orig_idx maps permuted slot → original id; padding slots carry a huge
+    # sentinel, clipped to the last row (gathered garbage, never selected).
+    perm_rows = jnp.take(table, scene.accel.orig_idx, axis=0, mode="clip")
+    return scene.replace(resolve_perm=perm_rows)
+
+
 def resolve_hit(o: jax.Array, d: jax.Array, ref: HitRef, scene: Scene) -> Hit:
     """Recompute (dst, point, normal, material) for the winning primitive.
 
@@ -309,14 +377,18 @@ def resolve_hit(o: jax.Array, d: jax.Array, ref: HitRef, scene: Scene) -> Hit:
         )
 
     if tris.count:
-        tri_table = jnp.concatenate(
-            [
-                tris.a, tris.b, tris.c, tris.normal, tris.albedo,
-                tris.emission[:, None], tris.smoothness[:, None],
-            ],
-            axis=1,
-        )  # (T, 17)
-        if scene.shard_axis is None:
+        if scene.resolve_perm is not None and scene.shard_axis is None:
+            # Locality-sorted resolve (round 5): gather the winner's row
+            # from the Morton-permuted table attached by
+            # ``with_perm_resolve`` — same bits, near-sequential rows for
+            # coherent rays. The (R,) slot map is a 4-byte/ray gather vs
+            # the 68-byte rows it localizes.
+            slot = jnp.take(
+                scene.accel.perm_of_orig, tri_idx, axis=0, mode="clip"
+            )
+            tri_rows = jnp.take(scene.resolve_perm, slot, axis=0)
+        elif scene.shard_axis is None:
+            tri_table = _tri_table(tris)  # (T, 17)
             tri_rows = _rows(tri_table, tri_idx)  # (R, 17)
         else:
             # Block-sharded (SURVEY §5.8): the winning GLOBAL index lives in
@@ -333,7 +405,7 @@ def resolve_hit(o: jax.Array, d: jax.Array, ref: HitRef, scene: Scene) -> Hit:
             mine = tri_sel & (tri_idx >= lo) & (tri_idx < lo + tris.count)
             local_idx = jnp.where(mine, tri_idx - lo, 0)
             tri_rows = jnp.where(
-                mine[:, None], _rows(tri_table, local_idx), 0.0
+                mine[:, None], _rows(_tri_table(tris), local_idx), 0.0
             )
             tri_rows = jax.lax.psum(tri_rows, axis)
     else:  # sphere-only scene: no lane ever selects a triangle

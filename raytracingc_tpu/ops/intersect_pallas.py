@@ -1883,7 +1883,14 @@ def search_triangles_pallas(
             idx = jnp.where(alive, idx, -1)
         return dst, idx
 
-    tris_packed = pack_triangles(tris)
+    # Prefer the accel's eagerly-packed plane (bits fixed once per scene;
+    # saves the per-program 12×T transpose+concat — ~67 MB at 990k).
+    # pack_triangles is the identical computation, so bits match either way.
+    tris_packed = (
+        accel.packed_plane
+        if accel.packed_plane is not None
+        else pack_triangles(tris)
+    )
     orig_idx = accel.orig_idx.reshape(1, t)
 
     if cull == "bitmask":

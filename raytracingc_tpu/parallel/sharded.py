@@ -247,6 +247,9 @@ def _scene_block_specs(scene: Scene):
 
     def spec(path, leaf):
         ks = jax.tree_util.keystr(path)
+        if ks == ".accel.packed_plane":
+            # (12, T) component-rows plane: triangles live on dim 1.
+            return P(None, "px")
         if ks.startswith(".triangles.") or ks.startswith(".accel."):
             return P("px")
         return P()

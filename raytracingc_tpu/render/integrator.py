@@ -27,7 +27,11 @@ import jax.numpy as jnp
 
 from raytracingc_tpu import rng
 from raytracingc_tpu.ops.env_light import environment_light
-from raytracingc_tpu.ops.intersect import nearest_hit, resolve_hit
+from raytracingc_tpu.ops.intersect import (
+    nearest_hit,
+    resolve_hit,
+    with_perm_resolve,
+)
 from raytracingc_tpu.scene.types import Scene
 
 
@@ -307,6 +311,11 @@ def trace_accumulate(
         sample_batch = next(k for k in (8, 4, 2, 1) if spp % k == 0)
     assert spp % sample_batch == 0, (spp, sample_batch)
     n_batches = spp // sample_batch
+
+    # Locality-sorted resolve (round 5): attach the Morton-permuted resolve
+    # table once; every bounce's resolve gathers from it (same bits, same
+    # gradients — see ``with_perm_resolve``).
+    scene = with_perm_resolve(scene)
 
     # Primary-hit cache: the bounce-0 intersection is identical for every
     # sample of a pixel (deterministic primary ray), so search+resolve once
@@ -647,6 +656,7 @@ def trace_debug_bounces(
     scatter direction): a path ends only on miss or at ``max_bounce``.
     Returns ``[R, 3]`` in [0, 1].
     """
+    scene = with_perm_resolve(scene)
     r = origins.shape[0]
     carry = (
         origins,

@@ -145,6 +145,14 @@ class Scene(struct.PyTreeNode):
     spheres: Spheres
     env: EnvParams
     accel: Any = None
+    # Morton-permuted (T, 17) resolve table, attached IN-TRACE by
+    # ``ops.intersect.with_perm_resolve`` at integrator entry (round 5,
+    # VERDICT r4 item 3): built from ``triangles`` via a differentiable
+    # permutation gather, so the resolve's row-gather reads locality-sorted
+    # rows (spatially-near winners → nearby rows) while values and
+    # gradients stay exactly those of the original-order table. None =
+    # resolve gathers the original-order SoA directly.
+    resolve_perm: jax.Array | None = None
     n_triangles: int = struct.field(pytree_node=False, default=0)
     n_spheres: int = struct.field(pytree_node=False, default=0)
     # Block-sharded scenes (SURVEY §5.8 "block-sharded with all_gather",
