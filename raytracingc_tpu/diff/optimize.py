@@ -143,6 +143,7 @@ def fit_scene(
     checkpoint_every: int = 50,
     resume: bool = True,
     log_every: int = 0,
+    accel_rebuild_every: int = 0,
 ) -> tuple[Scene, list[float]]:
     """Gradient-descent loop fitting ``scene`` to ``target``.
 
@@ -151,6 +152,15 @@ def fit_scene(
     ``checkpoint_path`` enables periodic atomic snapshots of
     (scene, opt_state); with ``resume=True`` an existing checkpoint restarts
     the loop from its saved step. Returns ``(fitted_scene, losses)``.
+
+    Geometry training keeps the accel's CULLING: the loss runs against a
+    per-step in-trace refresh of the accel's values on its static Morton
+    permutation (:func:`~raytracingc_tpu.ops.accel.refresh_accel`) — exact
+    for the current vertices at every step, so vertex training scales to
+    the same scene sizes as forward rendering instead of falling back to
+    the O(R·T) trivial-accel scan. The permutation itself only ages as a
+    *performance* property; ``accel_rebuild_every=k`` re-sorts it host-side
+    every k steps (0 = never; the refresh alone stays exact).
     """
     height, width = int(target.shape[0]), int(target.shape[1])
     tgt = target.reshape(-1, 3)
@@ -158,15 +168,22 @@ def fit_scene(
     ray_ids = jnp.arange(width * height, dtype=jnp.uint32)
     optimizer = optimizer or optax.adam(learning_rate)
     # The accel (int indices + a geometry copy) is not a parameter: detach it
-    # from the differentiated pytree. When geometry is trainable the accel's
-    # frozen geometry copy goes stale after the first vertex update — the
-    # Pallas search would intersect old geometry while resolve shades the new
-    # one — so the loss must run accel-free (live triangles) in that case;
-    # the reattach-inside-the-loss optimization is only valid for
-    # material/env-only training.
+    # from the differentiated pytree. When geometry is trainable its frozen
+    # VALUES go stale after the first vertex update — the step refreshes
+    # them in-trace on the static permutation (see docstring); only a scene
+    # with no accel at all runs the loss accel-free.
     geometry_trained = is_geometry_trained(trainable)
     accel = scene.accel
-    loss_accel = None if geometry_trained else accel
+    if accel is not None and getattr(accel, "mxu_coeffs", None) is not None:
+        # Eager-only table; refresh_accel returns None there — strip up
+        # front so scene pytree structure is stable across steps.
+        accel = accel.replace(mxu_coeffs=None)
+    can_refresh = (
+        geometry_trained
+        and accel is not None
+        and accel.perm_of_orig is not None
+    )
+    loss_accel = None if (geometry_trained and not can_refresh) else accel
     scene = scene.replace(accel=None)
     opt_state = optimizer.init(scene)
     if param_filter is not None:
@@ -182,27 +199,49 @@ def fit_scene(
             seed=seed, backend=backend, param_filter=pfilter,
             geometry_trainable=geometry_trained,
         )
-        # The sharded step manages the accel itself (detach inside, reattach
-        # for the loss when geometry is frozen) — hand it the accel-carrying
-        # scene or its material-only reuse optimization can never engage.
+        # The sharded step manages the accel itself (detach inside,
+        # refresh/reattach for the loss) — hand it the accel-carrying scene
+        # or neither the material-only reuse nor the geometry refresh can
+        # engage.
         scene = scene.replace(accel=loss_accel)
     else:
+        from raytracingc_tpu.ops.accel import refresh_accel
 
         @jax.jit
         def step_fn(scene, opt_state, origins, dirs, ray_ids, target):
+            accel_in = scene.accel
+            n_live = scene.n_triangles
+            refresh = (
+                geometry_trained
+                and accel_in is not None
+                and accel_in.perm_of_orig is not None
+            )
+            frozen = None if geometry_trained else accel_in
+            s0 = scene.replace(accel=None)
+
             def loss_fn(s):
+                a = refresh_accel(accel_in, s.triangles, n_live) \
+                    if refresh else frozen
                 radiance, _ = trace_accumulate(
-                    origins, dirs, s.replace(accel=loss_accel), ray_ids,
+                    origins, dirs, s.replace(accel=a), ray_ids,
                     seed=seed, spp=spp, max_bounce=max_bounce, backend=backend,
                 )
                 return jnp.mean((radiance - target) ** 2)
 
-            loss, grads = jax.value_and_grad(loss_fn)(scene)
+            loss, grads = jax.value_and_grad(loss_fn)(s0)
             if pfilter is not None:
                 grads = pfilter(grads)
-            updates, opt_state = optimizer.update(grads, opt_state, scene)
-            scene = jax.tree_util.tree_map(lambda p, u: p + u, scene, updates)
-            return scene, opt_state, loss
+            updates, opt_state = optimizer.update(grads, opt_state, s0)
+            s1 = jax.tree_util.tree_map(lambda p, u: p + u, s0, updates)
+            # Keep the returned scene self-consistent: geometry steps carry
+            # an accel refreshed against the UPDATED triangles.
+            out_accel = (
+                refresh_accel(accel_in, s1.triangles, n_live)
+                if refresh else frozen
+            )
+            return s1.replace(accel=out_accel), opt_state, loss
+
+        scene = scene.replace(accel=loss_accel)
 
     start = 0
     if checkpoint_path and resume:
@@ -220,6 +259,21 @@ def fit_scene(
             scene, opt_state, origins, dirs, ray_ids, tgt
         )
         losses.append(float(loss))
+        if (
+            can_refresh
+            and accel_rebuild_every
+            and (i + 1) % accel_rebuild_every == 0
+            and (i + 1) < steps
+        ):
+            # Host-side Morton re-sort: restores culling QUALITY (the
+            # in-step refresh keeps correctness regardless). Same shapes →
+            # the jitted step does not retrace.
+            from raytracingc_tpu.ops.accel import build_accel
+
+            new_accel = build_accel(scene.triangles, scene.n_triangles)
+            if new_accel.mxu_coeffs is not None:
+                new_accel = new_accel.replace(mxu_coeffs=None)
+            scene = scene.replace(accel=new_accel)
         if log_every and i % log_every == 0:
             print(f"[fit_scene] step {i}: loss {float(loss):.6g}")
         if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:

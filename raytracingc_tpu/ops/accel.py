@@ -158,6 +158,96 @@ def build_accel(tris: Triangles, n_live: int) -> TriangleAccel:
     )
 
 
+def refresh_accel(
+    accel: TriangleAccel, tris: Triangles, n_live: int
+) -> TriangleAccel:
+    """Recompute the accel's VALUES from current geometry, keeping its
+    static permutation — the geometry-training accel (VERDICT r4 item 2).
+
+    ``build_accel`` freezes a geometry copy; training vertices makes that
+    copy stale after the first update (the search would intersect old
+    geometry while resolve shades the new). This traced rebuild keeps the
+    host-built Morton ORDER (``orig_idx``/``perm_of_orig``, ints — the only
+    part that needs a host sort) and regenerates everything the kernels
+    read — permuted triangle SoA, per-128-block AABBs, packed (12, T)
+    search plane — from ``tris`` INSIDE the trace. The result is exact for
+    the current geometry at every step (AABBs always bound the triangles
+    assigned to their block); only the *culling quality* ages as vertices
+    drift from the order's Morton sort, which is a performance property,
+    not a correctness one. Re-sort host-side every k steps
+    (``fit_scene(accel_rebuild_every=k)``) to recover it.
+
+    Values are bit-identical to ``build_accel`` on the same geometry and
+    permutation (same gather rows, same min/max, same subtractions —
+    pinned by ``tests/test_train_scale.py``). ``mxu_coeffs`` stays None
+    (in-trace MXU packing is fusion-context dependent; the training paths
+    never dispatch the MXU specialist).
+    """
+    import jax.numpy as jnp
+
+    t = tris.a.shape[0]
+    assert accel.perm_of_orig is not None, (
+        "refresh_accel needs a real (host-built) accel; trivial accels "
+        "carry no permutation to refresh"
+    )
+    assert accel.orig_idx.shape[0] == t, (accel.orig_idx.shape, t)
+    # Padding slots carry the 2**30 sentinel original index; clip them onto
+    # row t-1. Padding slots exist iff n_live < t, and then original rows
+    # [n_live, t) are all-zero lane padding — so the clipped gather hands
+    # every padding slot an inert all-zero row (zero normals fail the
+    # backface test), exactly like build_accel's identity-mapped tail.
+    src = jnp.minimum(accel.orig_idx, t - 1)
+
+    permuted = jax.tree_util.tree_map(
+        lambda x: jnp.take(x, src, axis=0), tris
+    )
+
+    # Per-block AABBs over LIVE slots only (live rows are exactly the first
+    # n_live permuted slots). Padding rows would pollute the bounds with
+    # their (0,0,0) vertices; masking them with +/-_AABB_BIG reproduces
+    # build_accel's inverted never-hit AABB for padding-only blocks.
+    n_blocks = t // BLOCK
+    live = (jnp.arange(t, dtype=jnp.int32) < n_live)[:, None]
+    stacked_lo = jnp.minimum(
+        jnp.minimum(
+            jnp.where(live, permuted.a, _AABB_BIG),
+            jnp.where(live, permuted.b, _AABB_BIG),
+        ),
+        jnp.where(live, permuted.c, _AABB_BIG),
+    ).reshape(n_blocks, BLOCK, 3)
+    stacked_hi = jnp.maximum(
+        jnp.maximum(
+            jnp.where(live, permuted.a, -_AABB_BIG),
+            jnp.where(live, permuted.b, -_AABB_BIG),
+        ),
+        jnp.where(live, permuted.c, -_AABB_BIG),
+    ).reshape(n_blocks, BLOCK, 3)
+    lo_blocks = stacked_lo.min(axis=1)
+    hi_blocks = stacked_hi.max(axis=1)
+
+    # = intersect_pallas.pack_triangles(permuted), traced (each row is a
+    # single IEEE subtraction or a copy — no fusion-order ambiguity).
+    plane = jnp.concatenate(
+        [
+            permuted.a.T,
+            (permuted.b - permuted.a).T,
+            (permuted.c - permuted.a).T,
+            permuted.normal.T,
+        ],
+        axis=0,
+    ).astype(jnp.float32)
+
+    return TriangleAccel(
+        triangles=permuted,
+        orig_idx=accel.orig_idx,
+        aabb_lo=lo_blocks,
+        aabb_hi=hi_blocks,
+        mxu_coeffs=None,
+        perm_of_orig=accel.perm_of_orig,
+        packed_plane=plane,
+    )
+
+
 def trivial_accel(tris: Triangles) -> TriangleAccel:
     """Identity accel: no reorder, every block 'always hit' (brute force)."""
     t = tris.a.shape[0]

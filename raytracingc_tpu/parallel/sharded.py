@@ -399,14 +399,30 @@ def make_train_step(
 
     The scene's ``accel`` (int indices + a geometry copy) is detached from
     differentiation internally; initialize ``opt_state`` with
-    ``optimizer.init(scene.replace(accel=None))``. With the default
-    ``geometry_trainable=True`` the forward pass inside the loss runs
-    accel-free (live triangles): the accel's frozen geometry copy would go
-    stale after the first vertex update and the Pallas search would intersect
-    old geometry while resolve shades the new. Pass
-    ``geometry_trainable=False`` for material/env-only training to keep the
-    (then-valid) accel inside the loss.
+    ``optimizer.init(scene.replace(accel=None))``.
+
+    With the default ``geometry_trainable=True`` and an accel-carrying
+    scene, the loss runs against a **refreshed accel**
+    (:func:`~raytracingc_tpu.ops.accel.refresh_accel`): the host-built
+    Morton permutation stays static while the permuted geometry copy, block
+    AABBs, and packed search plane are regenerated in-trace from the
+    current triangles — exact at every step, O(T) per refresh, with only
+    culling QUALITY ageing as vertices drift from the sort (re-sort
+    host-side every k steps; see ``fit_scene(accel_rebuild_every=...)``).
+    This is what makes vertex training viable at accel scale (VERDICT r4
+    item 2): the old accel-free fallback routed the search through an
+    always-hit trivial accel — O(R·T) with zero culling — which only a
+    few-thousand-triangle scene survives. A scene WITHOUT an accel still
+    takes that fallback. Pass ``geometry_trainable=False`` for
+    material/env-only training to keep the (then-valid) frozen accel inside
+    the loss with no per-step refresh.
+
+    The returned step keeps the scene's accel consistent: geometry steps
+    return the accel refreshed against the UPDATED triangles, so the
+    returned scene renders correctly as-is.
     """
+    from raytracingc_tpu.ops.accel import refresh_accel
+
     spp_size = mesh.shape["spp"]
     assert spp % spp_size == 0, f"spp={spp} not divisible by mesh spp={spp_size}"
     spp_per = spp // spp_size
@@ -414,14 +430,22 @@ def make_train_step(
     def shard_step(scene, opt_state, origins, dirs, ray_ids, target):
         offset = jax.lax.axis_index("spp").astype(jnp.uint32) * jnp.uint32(spp_per)
         accel = scene.accel
+        n_live = scene.n_triangles
+        refresh = (
+            geometry_trainable
+            and accel is not None
+            and accel.perm_of_orig is not None
+        )
         loss_accel = None if geometry_trainable else accel
         scene = scene.replace(accel=None)
 
         def loss_fn(s):
+            a = refresh_accel(accel, s.triangles, n_live) if refresh \
+                else loss_accel
             radiance, _ = trace_accumulate(
                 origins,
                 dirs,
-                s.replace(accel=loss_accel),
+                s.replace(accel=a),
                 ray_ids,
                 seed=seed,
                 spp=spp_per,
@@ -439,9 +463,16 @@ def make_train_step(
             grads = param_filter(grads)
         updates, opt_state = optimizer.update(grads, opt_state, scene)
         scene = jax.tree_util.tree_map(lambda p, u: p + u, scene, updates)
-        # A stale accel must not ride along with updated geometry; the caller
-        # rebuilds once training ends (``Scene.with_accel``).
-        return scene.replace(accel=loss_accel), opt_state, loss
+        # A stale accel must never ride along with updated geometry: refresh
+        # against the post-update triangles (so the returned scene is
+        # self-consistent) or drop it (accel-free geometry training; the
+        # caller rebuilds once training ends, ``Scene.with_accel``).
+        out_accel = (
+            refresh_accel(accel, scene.triangles, n_live)
+            if refresh
+            else loss_accel
+        )
+        return scene.replace(accel=out_accel), opt_state, loss
 
     sharded = shard_map(
         shard_step,
@@ -450,4 +481,19 @@ def make_train_step(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+    if not geometry_trainable:
+        return jitted
+
+    def step(scene, opt_state, *args):
+        # mxu_coeffs are eager-only (refresh_accel returns None there); strip
+        # them up front so the input and output scene pytrees match from the
+        # first call — otherwise step(step(...)) would retrace once and the
+        # coefficient table would ride every device_put for nothing.
+        if scene.accel is not None and scene.accel.mxu_coeffs is not None:
+            scene = scene.replace(
+                accel=scene.accel.replace(mxu_coeffs=None)
+            )
+        return jitted(scene, opt_state, *args)
+
+    return step

