@@ -56,8 +56,9 @@ def _bench_train(scene, cam, scene_path: str, platform: str) -> int:
 
     The training step is the same construction as ``fit_scene``'s inner
     step (render with the differentiable fixed-length scan → L2 loss →
-    grads → adam update); geometry-trainable runs the loss accel-free
-    (``diff/optimize.py`` docs), material-only reuses the accel.
+    grads → adam update); geometry-trainable runs the loss against the
+    per-step in-trace accel REFRESH (``refresh_accel`` — exact culling at
+    training time, round 5), material-only reuses the frozen accel.
     """
     import jax
     import jax.numpy as jnp
@@ -65,6 +66,7 @@ def _bench_train(scene, cam, scene_path: str, platform: str) -> int:
 
     from raytracingc_tpu.camera import primary_rays
     from raytracingc_tpu.diff.optimize import leaf_filter
+    from raytracingc_tpu.ops.accel import refresh_accel
     from raytracingc_tpu.render.integrator import trace_accumulate
     from raytracingc_tpu.render.renderer import render
 
@@ -88,12 +90,16 @@ def _bench_train(scene, cam, scene_path: str, platform: str) -> int:
     target = target.reshape(-1, 3)
     optimizer = optax.adam(1e-2)
 
-    def make_step(loss_accel, pfilter):
+    def make_step(loss_accel, pfilter, refresh=False):
         @jax.jit
         def step(scene_p, opt_state):
             def loss_fn(s):
+                a = (
+                    refresh_accel(loss_accel, s.triangles, s.n_triangles)
+                    if refresh else loss_accel
+                )
                 radiance, count = trace_accumulate(
-                    origins, dirs, s.replace(accel=loss_accel), ray_ids,
+                    origins, dirs, s.replace(accel=a), ray_ids,
                     seed=0, spp=spp, max_bounce=max_bounce, backend=backend,
                 )
                 return jnp.mean((radiance - target) ** 2), count
@@ -124,7 +130,19 @@ def _bench_train(scene, cam, scene_path: str, platform: str) -> int:
             best = min(best, time.time() - t0)
         return best, float(count)
 
-    geom_s, geom_rays = time_step(make_step(None, None))
+    # Geometry-trainable: per-step accel refresh when the scene has a real
+    # accel (round 5 — vertex training with full culling); accel-free
+    # otherwise, or on BENCH_TRAIN_ACCELFREE=1 for the A/B.
+    accel_free = os.environ.get("BENCH_TRAIN_ACCELFREE", "0") == "1"
+    use_refresh = (
+        scene.accel is not None
+        and scene.accel.perm_of_orig is not None
+        and not accel_free
+    )
+    geom_s, geom_rays = time_step(
+        make_step(scene.accel, None, refresh=True) if use_refresh
+        else make_step(None, None)
+    )
     mat_s, mat_rays = time_step(
         make_step(accel, leaf_filter(["albedo", "emission", "smoothness",
                                       "env"])))
@@ -158,6 +176,7 @@ def _bench_train(scene, cam, scene_path: str, platform: str) -> int:
         "geom_over_forward": round(geom_s / fwd_s, 2),
         "material_over_forward": round(mat_s / fwd_s, 2),
         "repeats": repeats,
+        "geom_loss_accel": "refresh" if use_refresh else "none",
         "ray_accounting": "logical (forward rays per step; backward sweep "
         "included in the time)",
     }
@@ -276,6 +295,24 @@ def main() -> int:
 
         scene = _demo_scene()
         scene_path = "<procedural demo scene>"
+
+    # BENCH_TESS=k: midpoint-tessellate the scene 4**k-fold before
+    # benching — the scale-up tool behind the 61k/247k/990k BASELINE rows
+    # (suzannes: k=2 → 61,888, k=3 → 247,552, k=4 → 990,208 live tris).
+    tess = int(os.environ.get("BENCH_TESS", "0"))
+    if tess:
+        from raytracingc_tpu.scene.builder import tessellate
+        from raytracingc_tpu.scene.types import Scene
+
+        tris, n_live = tessellate(
+            scene.triangles, scene.n_triangles, levels=tess
+        )
+        scene = Scene.build(
+            triangles=tris, spheres=scene.spheres, env=scene.env
+        ).replace(
+            n_triangles=n_live, n_spheres=scene.n_spheres
+        ).with_accel()
+        scene_path = f"{scene_path} ×{4 ** tess} ({n_live} tris)"
 
     cam = Camera.look_at()
 

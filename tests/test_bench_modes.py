@@ -72,7 +72,23 @@ def test_bench_train_mode_schema():
     j = _run_bench({"BENCH_MODE": "train", "BENCH_REPEATS": "1"})
     for key in ("geom_step_s", "material_step_s", "material_rays_s",
                 "forward_scan_s", "forward_scan_rays_s", "geom_over_forward",
-                "material_over_forward"):
+                "material_over_forward", "geom_loss_accel"):
         assert key in j, key
     assert j["value"] > 0 and j["geom_over_forward"] > 0
     assert "train-step" in j["metric"]
+    # suzannes carries a real accel → the geometry loss refreshes it
+    # in-trace (round 5); BENCH_TRAIN_ACCELFREE=1 reverts for the A/B.
+    assert j["geom_loss_accel"] == "refresh"
+    j2 = _run_bench({"BENCH_MODE": "train", "BENCH_REPEATS": "1",
+                     "BENCH_TRAIN_ACCELFREE": "1"})
+    assert j2["geom_loss_accel"] == "none"
+
+
+def test_bench_tessellation_knob():
+    """BENCH_TESS=k scales the scene 4**k-fold before benching (the knob
+    behind the 61k/247k/990k BASELINE scale rows)."""
+    j = _run_bench({"BENCH_MODE": "train", "BENCH_REPEATS": "1",
+                    "BENCH_TESS": "1", "BENCH_W": "16", "BENCH_H": "16",
+                    "BENCH_SPP": "1", "BENCH_BOUNCE": "2"})
+    assert "×4 (15472 tris)" in j["metric"]
+    assert j["geom_loss_accel"] == "refresh" and j["value"] > 0
