@@ -1322,6 +1322,34 @@ for _j in range(32):
     _DEBRUIJN_TABLE[((_DEBRUIJN << _j) & 0xFFFFFFFF) >> 27] = _j
 
 
+def _popcount31(m: jax.Array) -> jax.Array:
+    """SWAR popcount for the 31-bit mask words (bit 31 is never set)."""
+    v = m - ((m >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    return (v * 0x01010101) >> 24
+
+
+def _col_group() -> int:
+    """Columns walked in lockstep per kernel trip (``RTC_COL_GROUP``).
+
+    A single column's walk trip is latency-bound (scalar walk → 13 dynamic
+    (1, 128) loads → the ~65-op MT chain serialize at ~10% of the VPU issue
+    rate); K independent column streams fill the stalls. Measured on the
+    suzannes 1080p mid-band (262k rays, xprof device self-time, round 5):
+    K=2 1.81×, K=4 2.73×, K=8 3.74×, K=16 3.97× on coherent primaries;
+    the compacted secondary front peaks at K=8 (2.50×; K=16 regresses 3%).
+    Default 8. K=1 is the pre-group walk, kept for A/B.
+    """
+    import os
+
+    group = int(os.environ.get("RTC_COL_GROUP", "8"))
+    assert group in (1, 2, 4, 8, 16), (
+        f"RTC_COL_GROUP={group}: expected 1, 2, 4, 8 or 16"
+    )
+    return group
+
+
 def _search_kernel_bitmask(
     alive_ref,  # (G,) i32 SMEM — per-program non-empty column counts
     colidx_ref,  # (C,) i32 SMEM — per-program packed non-empty column list
@@ -1334,6 +1362,7 @@ def _search_kernel_bitmask(
     idx_ref,  # (8, COLS) i32 out
     *,
     n_words: int,
+    group: int = 1,
 ):
     cols = dst_ref.shape[1]
     dst_ref[:, :] = jnp.full((RAY_SUBLANES, cols), MISS_DST, jnp.float32)
@@ -1349,12 +1378,13 @@ def _search_kernel_bitmask(
     def _run():
         _search_tile_bitmask(n_active, colidx_ref, mask_ref, deb_ref,
                              rays_ref, tris_ref, oidx_ref,
-                             dst_ref, idx_ref, n_words, col_base=col_base)
+                             dst_ref, idx_ref, n_words, col_base=col_base,
+                             group=group)
 
 
 def _search_tile_bitmask(n_active, colidx_ref, mask_ref, deb_ref, rays_ref,
                          tris_ref, oidx_ref, dst_ref, idx_ref,
-                         n_words: int, col_base):  # noqa: D103
+                         n_words: int, col_base, group: int = 1):  # noqa: D103
     cols = dst_ref.shape[1]
     shape = (RAY_SUBLANES, cols)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -1400,23 +1430,103 @@ def _search_tile_bitmask(n_active, colidx_ref, mask_ref, deb_ref, rays_ref,
         acc_i = jnp.where(col_mask, imin, acc_i)
         return acc_d, acc_i
 
+    def per_group(pp, acc):
+        # GROUPED lockstep walk (round 5): `group` columns advance through
+        # their bit words together, one MT block test per stream per trip.
+        # A single-column trip is latency-bound, not issue-bound — the
+        # scalar walk, 13 dynamic (1, 128) loads, and the ~65-op MT chain
+        # serialize at ~10% of the VPU issue rate (measured: the whole MT
+        # term runs at 160 ns/block-test). K independent streams fill the
+        # stalls: K=8 measured 3.74× (coherent primaries) / 2.50×
+        # (compacted secondary front) over K=1 on the suzannes 1080p
+        # workloads; K=16 regressed the secondary front (register
+        # pressure). Exactness: streams whose word ran out re-test their
+        # PREVIOUS block — the lex-(dst, oidx) running min is idempotent —
+        # and a short tail group re-tests the last active column, whose
+        # disjoint col_mask merge is idempotent too, so results stay
+        # bit-identical to the K=1 walk (pinned by test_col_group_*).
+        # Dispatch sorts each program's active columns by DESCENDING bit
+        # count (see search_triangles_pallas), so lockstep groups stay
+        # homogeneous and duplicate-trip waste is minimal.
+        acc_d, acc_i = acc
+        jjs = [jnp.minimum(group * pp + k, n_active - 1)
+               for k in range(group)]
+        cols_i = [colidx_ref[col_base + jj] for jj in jjs]
+        masks_i = [col_iota == i for i in cols_i]
+        rays_i = [_extract_column(ray_tiles, mk, i)
+                  for mk, i in zip(masks_i, cols_i)]
+        init_best = (
+            jnp.full((RAY_SUBLANES, TRI_LANES), MISS_DST, jnp.float32),
+            jnp.full((RAY_SUBLANES, TRI_LANES), _BIG_I32, jnp.int32),
+        )
+        bests = [init_best for _ in range(group)]
+        for w in range(n_words):  # n_words is static → unrolled
+            m0s = [mask_ref[(col_base + i) * n_words + w] for i in cols_i]
+            base = w * BITS_PER_WORD
+
+            def bit_body(carry, base=base):
+                ms = carry[0:group]
+                pjs = carry[group:2 * group]
+                bs = carry[2 * group:]
+                out_m, out_j, out_b = [], [], []
+                for k in range(group):
+                    m = ms[k]
+                    lsb = m & (-m)
+                    jr = deb_ref[((lsb * jnp.int32(_DEBRUIJN)) >> 27) & 31]
+                    j = jnp.where(m == 0, pjs[k], jr)
+                    bd, bi = _mt_block_test(rays_i[k], tris_ref, oidx_ref,
+                                            base + j, bs[2 * k],
+                                            bs[2 * k + 1])
+                    out_m.append(jnp.where(m == 0, 0, m & (m - 1)))
+                    out_j.append(j)
+                    out_b.extend((bd, bi))
+                return tuple(out_m + out_j + out_b)
+
+            def any_left(c):
+                left = c[0]
+                for k in range(1, group):
+                    left = left | c[k]
+                return left != 0
+
+            carry = tuple(
+                m0s + [jnp.int32(0)] * group
+                + [x for b in bests for x in b]
+            )
+            carry = jax.lax.while_loop(any_left, bit_body, carry)
+            bests = [(carry[2 * group + 2 * k], carry[2 * group + 2 * k + 1])
+                     for k in range(group)]
+
+        for k in range(group):
+            dk, ik = _column_argmin(*bests[k])
+            acc_d = jnp.where(masks_i[k], dk, acc_d)
+            acc_i = jnp.where(masks_i[k], ik, acc_i)
+        return acc_d, acc_i
+
     init = (
         jnp.full(shape, MISS_DST, jnp.float32),
         jnp.full(shape, -1, jnp.int32),
     )
-    acc_d, acc_i = jax.lax.fori_loop(0, n_active, per_column, init)
+    if group == 1:
+        acc_d, acc_i = jax.lax.fori_loop(0, n_active, per_column, init)
+    else:
+        acc_d, acc_i = jax.lax.fori_loop(
+            0, (n_active + group - 1) // group, per_group, init
+        )
     dst_ref[:, :] = acc_d
     idx_ref[:, :] = acc_i
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "n_words"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "n_words", "group"))
 def _search_padded_bitmask(col_counts, col_index, masks, rays_planes,
-                           tris_packed, orig_idx, n_words, interpret=False):
+                           tris_packed, orig_idx, n_words, interpret=False,
+                           group=1):
     n_cols = rays_planes.shape[2]
     t = tris_packed.shape[1]
     grid = (n_cols // COLS_PER_PROGRAM,)
 
-    kernel = functools.partial(_search_kernel_bitmask, n_words=n_words)
+    kernel = functools.partial(_search_kernel_bitmask, n_words=n_words,
+                               group=group)
     dst, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1896,18 +2006,23 @@ def search_triangles_pallas(
     if cull == "bitmask":
         masks = packet_block_masks(o_p, d_p, a_p, accel)  # (C, n_words)
         n_words = masks.shape[1]
-        nonempty = jnp.any(masks != 0, axis=1)  # (C,)
         # Pack non-empty column indices to the front of each program's
-        # 128-entry SMEM segment (stable argsort on the empty flag): the
-        # kernel then iterates exactly its active columns — empty ones cost
-        # zero work instead of six masked extracts each.
-        ne = nonempty.reshape(n_programs, COLS_PER_PROGRAM)
+        # 128-entry SMEM segment, ordered by DESCENDING set-bit count
+        # (stable argsort on a single packed key): the kernel iterates
+        # exactly its active columns — empty ones cost zero work instead of
+        # six masked extracts each — and the grouped lockstep walk
+        # (RTC_COL_GROUP) pairs columns with similar walk lengths, so
+        # group trips waste minimal duplicate block tests. Processing
+        # order does not affect results (disjoint col_mask merges).
+        bits = jnp.sum(_popcount31(masks), axis=1)  # (C,)
+        ne = (bits > 0).reshape(n_programs, COLS_PER_PROGRAM)
         col_counts = jnp.sum(ne.astype(jnp.int32), axis=1)  # (G,)
-        col_index = jnp.argsort(~ne, axis=1, stable=True).astype(jnp.int32)
+        key = jnp.where(ne, -bits.reshape(n_programs, COLS_PER_PROGRAM), 1)
+        col_index = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
         dst, idx = _search_padded_bitmask(
             col_counts, col_index.reshape(-1), masks.reshape(-1),
             rays_planes, tris_packed, orig_idx,
-            n_words=n_words, interpret=interpret,
+            n_words=n_words, interpret=interpret, group=_col_group(),
         )
     else:
         # Words superblock culling is the measured default everywhere the

@@ -96,3 +96,61 @@ def test_packed_plane_matches_in_trace_packing(scene):
     oi = np.asarray(accel.orig_idx)
     po = np.asarray(accel.perm_of_orig)
     np.testing.assert_array_equal(oi[po[:n]], np.arange(n))
+
+
+def _scattered_tri_scene(t, seed=7):
+    from raytracingc_tpu.scene.builder import triangles_from_arrays
+    from raytracingc_tpu.scene.types import Scene, Spheres
+
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-30, 30, size=(t, 3)).astype(np.float32)
+    centers[:, 2] += 40.0  # in front of the camera
+    e1 = rng.normal(size=(t, 3)).astype(np.float32) * 0.4
+    e2 = rng.normal(size=(t, 3)).astype(np.float32) * 0.4
+    verts = np.stack([centers, centers + e1, centers + e2], axis=1)
+    normals = np.cross(e1, e2)
+    normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True),
+                          1e-9)
+    tris, _ = triangles_from_arrays(
+        verts, normals, np.full((t, 3), 0.5, np.float32),
+        np.zeros(t, np.float32), np.zeros(t, np.float32))
+    return Scene.build(triangles=tris, spheres=Spheres.empty()).with_accel()
+
+
+def test_col_group_bitwise_identical(monkeypatch):
+    """The grouped lockstep walk (RTC_COL_GROUP) is bit-identical to the
+    single-column walk at every supported width: exhausted streams re-test
+    their previous block and tail groups re-test the last column — both
+    idempotent under the lex-(dst, orig idx) running min. Multi-word scene
+    (cross-word lockstep) with a partial alive mask (packed-column path)."""
+    from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
+
+    scene = _scattered_tri_scene(40 * 128)
+    cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
+    o, d = primary_rays(cam, 24, 24)
+    alive = jnp.asarray(np.arange(o.shape[0]) % 5 != 3)  # ragged occupancy
+
+    outs = {}
+    for k in ("1", "2", "4", "8", "16"):
+        monkeypatch.setenv("RTC_COL_GROUP", k)
+        outs[k] = search_triangles_pallas(
+            o, d, scene.triangles, interpret=True, accel=scene.accel,
+            alive=alive, cull="bitmask")
+    base_d, base_i = (np.asarray(x) for x in outs["1"])
+    assert int((base_i >= 0).sum()) > 20  # the scene is actually hit
+    for k in ("2", "4", "8", "16"):
+        np.testing.assert_array_equal(np.asarray(outs[k][0]), base_d)
+        np.testing.assert_array_equal(np.asarray(outs[k][1]), base_i)
+
+
+def test_col_group_invalid_fails_loudly(monkeypatch):
+    from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
+
+    scene = _scattered_tri_scene(2 * 128, seed=3)
+    cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
+    o, d = primary_rays(cam, 8, 8)
+    monkeypatch.setenv("RTC_COL_GROUP", "3")
+    with pytest.raises(AssertionError, match="RTC_COL_GROUP"):
+        search_triangles_pallas(
+            o, d, scene.triangles, interpret=True, accel=scene.accel,
+            cull="bitmask")
