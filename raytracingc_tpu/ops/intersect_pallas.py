@@ -91,7 +91,8 @@ def _extract_column(tiles, col_mask, i):
     )
 
 
-def _mt_block_test(ray, tris_ref, oidx_ref, j, best_d, best_i):
+def _mt_block_test(ray, tris_ref, oidx_ref, j, best_d, best_i,
+                   enabled=None):
     """Möller–Trumbore over one 128-triangle block for one 8-ray packet.
 
     ``ray`` = (ox, oy, oz, dx, dy, dz) as (8, 1) tiles; ``j`` is the block
@@ -101,6 +102,12 @@ def _mt_block_test(ray, tris_ref, oidx_ref, j, best_d, best_i):
     degenerate/positive-distance tests (``raytracing.c:186-214``), and the
     lexicographic (dst, original index) running argmin that reproduces the
     sequential C scan order under any block permutation.
+
+    ``enabled`` (optional scalar bool): when False the test's result is
+    DISCARDED (``take`` masked off) — the grouped lockstep walks use this
+    to turn an exhausted stream's filler trip into a true no-op, so
+    results never depend on which block the filler happened to address
+    (dead lanes included).
     """
     ox, oy, oz, dx, dy, dz = ray
 
@@ -150,6 +157,8 @@ def _mt_block_test(ray, tris_ref, oidx_ref, j, best_d, best_i):
     dst = jnp.where(valid, dst, MISS_DST)
     oidx_b = jnp.broadcast_to(oidx, (RAY_SUBLANES, TRI_LANES))
     take = (dst < best_d) | ((dst == best_d) & (oidx_b < best_i))
+    if enabled is not None:
+        take = take & enabled
     best_d = jnp.where(take, dst, best_d)
     best_i = jnp.where(take, oidx_b, best_i)
     return best_d, best_i
@@ -872,6 +881,7 @@ def _search_kernel_streamed_packed_tmajor(
     n_tiles: int,
     granule: int,
     n_words: int,
+    group: int = 1,
 ):
     """Packed-column, multi-word streamed search (round-5 architecture).
 
@@ -957,22 +967,111 @@ def _search_kernel_streamed_packed_tmajor(
                 jnp.where(col_mask, imin, acc_i),
             )
 
+        def per_group(pp, acc):
+            # GROUPED lockstep walk (see _search_tile_bitmask.per_group):
+            # K columns advance through each word together, one MT block
+            # test per stream per trip. The (bit, granule-range) nesting is
+            # FLATTENED into a uniform block-test stream per column: a trip
+            # first refills an exhausted range from the stream's next set
+            # bit, then tests one block. Streams out of work issue a
+            # filler test whose result is discarded (enabled=False), so
+            # results are bit-identical to the K=1 walk, dead lanes
+            # included. Dispatch sorts active columns by descending total
+            # bit count to keep lockstep groups homogeneous.
+            acc_d, acc_i = acc
+            jjs = [jnp.minimum(group * pp + k, n_active - 1)
+                   for k in range(group)]
+            cols_i = [colidx_ref[pair * cols + jj] for jj in jjs]
+            masks_i = [col_iota == i for i in cols_i]
+            rays_i = [_extract_column(ray_tiles, mk, i)
+                      for mk, i in zip(masks_i, cols_i)]
+            init_best = (
+                jnp.full((RAY_SUBLANES, TRI_LANES), MISS_DST, jnp.float32),
+                jnp.full((RAY_SUBLANES, TRI_LANES), _BIG_I32, jnp.int32),
+            )
+            bests = [init_best for _ in range(group)]
+            wbases = [((col_base + i) * n_tiles + tid) * n_words
+                      for i in cols_i]
+            for w in range(n_words):  # static → unrolled
+                m0s = [words_ref[wb + w] for wb in wbases]
+                bit_base = w * BITS_PER_WORD
+
+                def body(carry, bit_base=bit_base):
+                    ms = carry[0:group]
+                    pss = carry[group:2 * group]
+                    pes = carry[2 * group:3 * group]
+                    bs = carry[3 * group:]
+                    out_m, out_ps, out_pe, out_b = [], [], [], []
+                    for k in range(group):
+                        m, ps, pe = ms[k], pss[k], pes[k]
+                        # Refill: range exhausted and bits remain → pop the
+                        # next set bit into [ps, pe).
+                        need = (ps >= pe) & (m != 0)
+                        lsb = m & (-m)
+                        j = deb_ref[((lsb * jnp.int32(_DEBRUIJN)) >> 27)
+                                    & 31]
+                        start = (bit_base + j) * jnp.int32(granule)
+                        end = jnp.minimum(
+                            start + jnp.int32(granule),
+                            jnp.int32(blocks_per_tile),
+                        )
+                        ps = jnp.where(need, start, ps)
+                        pe = jnp.where(need, end, pe)
+                        m = jnp.where(need, m & (m - 1), m)
+                        avail = ps < pe
+                        blk = jnp.where(avail, ps, 0)
+                        bd, bi = _mt_block_test(
+                            rays_i[k], tris_ref, oidx_ref, blk,
+                            bs[2 * k], bs[2 * k + 1], enabled=avail)
+                        out_m.append(m)
+                        out_ps.append(jnp.where(avail, ps + 1, ps))
+                        out_pe.append(pe)
+                        out_b.extend((bd, bi))
+                    return tuple(out_m + out_ps + out_pe + out_b)
+
+                def any_left(c):
+                    left = (c[0] != 0) | (c[group] < c[2 * group])
+                    for k in range(1, group):
+                        left = left | (c[k] != 0) | (
+                            c[group + k] < c[2 * group + k])
+                    return left
+
+                carry = tuple(
+                    m0s + [jnp.int32(0)] * group + [jnp.int32(0)] * group
+                    + [x for b in bests for x in b]
+                )
+                carry = jax.lax.while_loop(any_left, body, carry)
+                bests = [(carry[3 * group + 2 * k],
+                          carry[3 * group + 2 * k + 1])
+                         for k in range(group)]
+
+            for k in range(group):
+                dk, ik = _column_argmin(*bests[k])
+                acc_d = jnp.where(masks_i[k], dk, acc_d)
+                acc_i = jnp.where(masks_i[k], ik, acc_i)
+            return acc_d, acc_i
+
         init = (
             jnp.full(shape, MISS_DST, jnp.float32),
             jnp.full(shape, -1, jnp.int32),
         )
-        acc_d, acc_i = jax.lax.fori_loop(0, n_active, per_active_column,
-                                         init)
+        if group == 1:
+            acc_d, acc_i = jax.lax.fori_loop(0, n_active, per_active_column,
+                                             init)
+        else:
+            acc_d, acc_i = jax.lax.fori_loop(
+                0, (n_active + group - 1) // group, per_group, init
+            )
         dst_ref[0] = acc_d
         idx_ref[0] = acc_i
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "granule", "interpret")
+    jax.jit, static_argnames=("tile", "granule", "interpret", "group")
 )
 def _search_padded_streamed_packed_tmajor(counts, colidx, words, rays_planes,
                                           tris_packed, orig_idx, tile,
-                                          granule, interpret=False):
+                                          granule, interpret=False, group=1):
     n_cols = rays_planes.shape[2]
     t = tris_packed.shape[1]
     assert t % tile == 0 and tile % TRI_LANES == 0
@@ -988,6 +1087,7 @@ def _search_padded_streamed_packed_tmajor(counts, colidx, words, rays_planes,
         n_tiles=n_tiles,
         granule=granule,
         n_words=n_words,
+        group=group,
     )
     dst_t, idx_t = pl.pallas_call(
         kernel,
@@ -1440,11 +1540,12 @@ def _search_tile_bitmask(n_active, colidx_ref, mask_ref, deb_ref, rays_ref,
         # stalls: K=8 measured 3.74× (coherent primaries) / 2.50×
         # (compacted secondary front) over K=1 on the suzannes 1080p
         # workloads; K=16 regressed the secondary front (register
-        # pressure). Exactness: streams whose word ran out re-test their
-        # PREVIOUS block — the lex-(dst, oidx) running min is idempotent —
-        # and a short tail group re-tests the last active column, whose
-        # disjoint col_mask merge is idempotent too, so results stay
-        # bit-identical to the K=1 walk (pinned by test_col_group_*).
+        # pressure). Exactness: streams whose word ran out still issue a
+        # filler block test (lockstep) but its result is DISCARDED
+        # (enabled=False masks the take), and a short tail group
+        # re-walks the last active column, whose disjoint col_mask merge
+        # writes the same values — so results stay bit-identical to the
+        # K=1 walk, dead lanes included (pinned by test_col_group_*).
         # Dispatch sorts each program's active columns by DESCENDING bit
         # count (see search_triangles_pallas), so lockstep groups stay
         # homogeneous and duplicate-trip waste is minimal.
@@ -1473,11 +1574,12 @@ def _search_tile_bitmask(n_active, colidx_ref, mask_ref, deb_ref, rays_ref,
                     m = ms[k]
                     lsb = m & (-m)
                     jr = deb_ref[((lsb * jnp.int32(_DEBRUIJN)) >> 27) & 31]
-                    j = jnp.where(m == 0, pjs[k], jr)
+                    live = m != 0
+                    j = jnp.where(live, jr, pjs[k])
                     bd, bi = _mt_block_test(rays_i[k], tris_ref, oidx_ref,
                                             base + j, bs[2 * k],
-                                            bs[2 * k + 1])
-                    out_m.append(jnp.where(m == 0, 0, m & (m - 1)))
+                                            bs[2 * k + 1], enabled=live)
+                    out_m.append(jnp.where(live, m & (m - 1), 0))
                     out_j.append(j)
                     out_b.extend((bd, bi))
                 return tuple(out_m + out_j + out_b)
@@ -1786,12 +1888,14 @@ def search_triangles_pallas(
     # resident-words gate below all reuse these (review r4: three drifting
     # re-derivations).
     max_words = int(os.environ.get("RTC_BITMASK_MAX_WORDS", 8))
-    # Default "words": the round-5 sweep measured the packed/multi-word
-    # kernel LOSING at every granule on the 990k bench (BASELINE.md round 5
-    # "exact per-block bits: measured dead end") — the cond-words kernel is
-    # the standing champion. "packed" stays for A/B reproducibility.
+    # Default "packed": with the grouped lockstep walk (RTC_COL_GROUP,
+    # round 5) the packed-column kernel beats the cond-words kernel at
+    # every measured scale — 61k ×3.19, 247k ×1.51, 990k +18%
+    # (BASELINE.md round 5 "grouped lockstep column walk"). The round-5
+    # K=1 sweep that crowned cond-words ("exact per-block bits: measured
+    # dead end") predates the grouped walk; "words"/"range" stay for A/B.
     stream_cull = os.environ.get(
-        "RTC_STREAM_CULL", "range" if range_requested else "words"
+        "RTC_STREAM_CULL", "range" if range_requested else "packed"
     )
     assert stream_cull in ("packed", "words", "range"), (
         f"RTC_STREAM_CULL={stream_cull!r}: expected 'packed', 'words' or "
@@ -2033,15 +2137,19 @@ def search_triangles_pallas(
         # for A/B. ``use_words``/``max_words`` resolved once above.
         def _pack_cols(words_multi, n_tiles_p):
             """Pack active column ids per (program, tile) for the packed
-            kernel. Stable argsort on the inactive flag keeps the active
-            ids ascending — the kernel then visits columns in the same
-            order the cond-based kernels scan them."""
-            active = jnp.any(words_multi != 0, axis=2)  # (C, n_tiles)
-            act = active.reshape(
+            kernel, ordered by DESCENDING total bit count (stable argsort
+            on a packed key): actives come first, and the grouped lockstep
+            walk (RTC_COL_GROUP) pairs columns with similar walk lengths.
+            Column visit order does not affect results (disjoint col_mask
+            merges)."""
+            bits = jnp.sum(_popcount31(words_multi), axis=2)  # (C, n_tiles)
+            bt = bits.reshape(
                 n_programs, COLS_PER_PROGRAM, n_tiles_p
             ).transpose(0, 2, 1)  # (G, n_tiles, 128)
+            act = bt > 0
             counts = jnp.sum(act.astype(jnp.int32), axis=2).reshape(-1)
-            colidx = jnp.argsort(~act, axis=2, stable=True).astype(jnp.int32)
+            key = jnp.where(act, -bt, 1)
+            colidx = jnp.argsort(key, axis=2, stable=True).astype(jnp.int32)
             return counts, colidx.reshape(-1)
 
         if t > stream_max_t:
@@ -2067,7 +2175,7 @@ def search_triangles_pallas(
                 dst, idx = _search_padded_streamed_packed_tmajor(
                     counts, colidx, words.reshape(-1), rays_planes,
                     tris_packed, orig_idx, tile=tile, granule=granule,
-                    interpret=interpret,
+                    interpret=interpret, group=_col_group(),
                 )
             elif use_words:
                 granule = -(-bpt // BITS_PER_WORD)
@@ -2131,7 +2239,7 @@ def search_triangles_pallas(
             dst, idx = _search_padded_streamed_packed_tmajor(
                 counts, colidx, words.reshape(-1), rays_planes,
                 tris_packed, orig_idx, tile=t, granule=granule,
-                interpret=interpret,
+                interpret=interpret, group=_col_group(),
             )
         elif use_words and n_blocks_total > max_words * BITS_PER_WORD:
             # RESIDENT words kernel: the 32k–65k regime that outgrew the

@@ -154,3 +154,34 @@ def test_col_group_invalid_fails_loudly(monkeypatch):
         search_triangles_pallas(
             o, d, scene.triangles, interpret=True, accel=scene.accel,
             cull="bitmask")
+
+
+def test_col_group_packed_stream_bitwise(monkeypatch):
+    """The grouped flattened-stream walk in the packed tile-major kernel is
+    bit-identical to K=1 and to the cond-words kernel, at a forced tiny
+    tile size (multi-tile streaming on CPU interpret) with ragged alive."""
+    from raytracingc_tpu.ops.intersect_pallas import search_triangles_pallas
+
+    scene = _scattered_tri_scene(24 * 128, seed=11)
+    cam = Camera.look_at(origin=[0.0, 0.0, 0.0], target=[0.0, 0.0, 1.0])
+    o, d = primary_rays(cam, 48, 48)
+    alive = jnp.asarray(np.arange(o.shape[0]) % 7 != 2)
+
+    monkeypatch.setenv("RTC_STREAM_MAX_T", "512")   # force streaming
+    monkeypatch.setenv("RTC_STREAM_TILE", "1024")   # 3 tiles of 8 blocks
+
+    monkeypatch.setenv("RTC_STREAM_CULL", "words")
+    ref = search_triangles_pallas(
+        o, d, scene.triangles, interpret=True, accel=scene.accel,
+        alive=alive)
+    base_d, base_i = (np.asarray(x) for x in ref)
+    assert int((base_i >= 0).sum()) > 20
+
+    monkeypatch.setenv("RTC_STREAM_CULL", "packed")
+    for k in ("1", "8"):
+        monkeypatch.setenv("RTC_COL_GROUP", k)
+        d_p, i_p = search_triangles_pallas(
+            o, d, scene.triangles, interpret=True, accel=scene.accel,
+            alive=alive)
+        np.testing.assert_array_equal(np.asarray(d_p), base_d)
+        np.testing.assert_array_equal(np.asarray(i_p), base_i)

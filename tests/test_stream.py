@@ -180,17 +180,24 @@ def test_stream_threshold_applies_under_default_bitmask_cull(monkeypatch):
         calls.append("streamed-words")
         return real_wt(*a, **k)
 
+    real_pk = ip._search_padded_streamed_packed_tmajor
+
+    def spy_pk(*a, **k):
+        calls.append("streamed-packed")
+        return real_pk(*a, **k)
+
     monkeypatch.setattr(ip, "_search_padded_streamed", spy)
     monkeypatch.setattr(ip, "_search_padded_streamed_words", spy_w)
     monkeypatch.setattr(ip, "_search_padded_streamed_words_tmajor", spy_wt)
+    monkeypatch.setattr(ip, "_search_padded_streamed_packed_tmajor", spy_pk)
 
     tris, n_live = _soup(700)
     accel = build_accel(tris, n_live)
     o, d = _rays(1024, seed=9)
     # No cull= argument: the default (bitmask) must still stream — via the
-    # round-4 words cull (the auto default for streamed scenes).
+    # round-5 grouped packed cull (the auto default for streamed scenes).
     ds, is_ = ip.search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
-    assert calls == ["streamed-words"], calls
+    assert calls == ["streamed-packed"], calls
     dx, ix = _search_triangles_xla(o, d, tris)
     np.testing.assert_array_equal(np.asarray(is_), np.asarray(ix))
 
@@ -251,14 +258,15 @@ def test_streamed_words_bit_identical_to_range(stream_tiny, monkeypatch):
     assert int(jnp.sum(iw >= 0)) > 100  # not vacuous
 
 
-def test_streamed_words_is_auto_default(stream_tiny, monkeypatch):
-    """AUTO cull on a streamed-size scene takes the words kernel; an
-    explicit cull='range' request keeps the range kernel (the A/B knob)."""
+def test_streamed_packed_is_auto_default(stream_tiny, monkeypatch):
+    """AUTO cull on a streamed-size scene takes the grouped packed kernel;
+    an explicit cull='range' request keeps the range kernel (the A/B
+    knob)."""
     tris, n_live = _soup(700)
     accel = build_accel(tris, n_live)
     o, d = _rays(1024, seed=12)
-    # words (auto) vs explicitly-forced range must still agree bitwise —
-    # and the words path must engage without any env knob.
+    # packed (auto) vs explicitly-forced range must still agree bitwise —
+    # and the packed path must engage without any env knob.
     dw, iw = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
     dr, ir = search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live,
                                      cull="range")
@@ -281,10 +289,10 @@ def test_streamed_words_respects_alive_mask(stream_tiny, monkeypatch):
     np.testing.assert_array_equal(np.asarray(iw), np.asarray(ir))
 
 
-def test_resident_words_kernel_bit_identical(monkeypatch):
+def test_resident_packed_kernel_routed_by_default(monkeypatch):
     """Scenes past the exact-bitmask word cap but under the stream threshold
-    take the RESIDENT words kernel (single-tile stream, granule-grouped
-    bits) — bit-identical to the range kernel and routed by default.
+    take the RESIDENT packed kernel (single-tile stream, grouped lockstep
+    walk) — bit-identical to the range kernel and routed by default.
     RTC_BITMASK_MAX_WORDS=1 shrinks the cap so toy scenes exercise it."""
     from raytracingc_tpu.ops import intersect_pallas as ip
 
@@ -293,19 +301,19 @@ def test_resident_words_kernel_bit_identical(monkeypatch):
     tris, n_live = _soup(5000)  # 40 blocks > 1 word * 31
 
     calls = []
-    real_w = ip._search_padded_streamed_words
+    real_pk = ip._search_padded_streamed_packed_tmajor
 
-    def spy_w(*a, **k):
-        calls.append("resident-words")
-        return real_w(*a, **k)
+    def spy_pk(*a, **k):
+        calls.append("resident-packed")
+        return real_pk(*a, **k)
 
-    monkeypatch.setattr(ip, "_search_padded_streamed_words", spy_w)
+    monkeypatch.setattr(ip, "_search_padded_streamed_packed_tmajor", spy_pk)
     accel = build_accel(tris, n_live)
     o, d = _rays(2048, seed=21)
     dw, iw = ip.search_triangles_pallas(o, d, tris, accel=accel,
                                         n_live=n_live)
-    assert calls == ["resident-words"], calls
-    # words tile == whole plane (single tile): one call, not a stream
+    assert calls == ["resident-packed"], calls
+    # packed tile == whole plane (single tile): one call, not a stream
     dr, ir = ip.search_triangles_pallas(o, d, tris, accel=accel,
                                         n_live=n_live, cull="range")
     np.testing.assert_array_equal(np.asarray(dw), np.asarray(dr))
@@ -384,9 +392,9 @@ def test_streamed_packed_bit_identical(stream_tiny, monkeypatch, granule):
     granule bits, down to granule=1 exact per-block culling) must be
     bit-identical to the words/range kernels at every granule: finer
     union boxes are still a conservative superset and the walk order is
-    ascending block order. (On hardware the packed kernel measured SLOWER
-    than the cond-words kernel at every granule — BASELINE.md round 5 —
-    so it is an A/B path, not the default; the contract still holds.)"""
+    ascending block order. (With the round-5 grouped lockstep walk the
+    packed kernel is the measured champion at every scale and the auto
+    default — BASELINE.md "grouped lockstep column walk".)"""
     tris, n_live = _soup(700)  # pads to 768 = 6 blocks -> 3 tiles
     accel = build_accel(tris, n_live)
     o, d = _rays(2048, seed=21)
@@ -457,5 +465,9 @@ def test_knob_typos_fail_loudly(stream_tiny, monkeypatch, knob, value):
     monkeypatch.setenv(knob, value)
     if knob == "RTC_STREAM_GRANULE":
         monkeypatch.setenv("RTC_STREAM_CULL", "packed")
+    elif knob == "RTC_STREAM_ORDER":
+        # The grid-order knob lives in the words kernels; route there so
+        # the typo is actually read (packed is the auto default now).
+        monkeypatch.setenv("RTC_STREAM_CULL", "words")
     with pytest.raises((AssertionError, ValueError)):
         search_triangles_pallas(o, d, tris, accel=accel, n_live=n_live)
